@@ -1,0 +1,46 @@
+"""hunyuan3d2_tpu — a TPU-native (JAX/XLA/Pallas) image→textured-3D-asset framework.
+
+A from-scratch rebuild of the capabilities of Hunyuan3D-2 (reference:
+delldu/Hunyuan3D-2), designed TPU-first:
+
+* models are pure functions over parameter pytrees (bf16 params, fp32 norms),
+* samplers are ``lax.scan`` loops compiled once under ``jax.jit``,
+* the latent→SDF volume decode is a batched fixed-shape grid kernel
+  (dense / hierarchical fixed-capacity refinement / top-k KV pruning),
+* surface extraction and texture baking run as vectorized array programs,
+* multi-chip scaling uses ``jax.sharding.Mesh`` + ``NamedSharding`` over ICI.
+
+Public API parity with the reference (hy3dgen):
+    Hunyuan3DDiTFlowMatchingPipeline  — image → mesh     (shape generation)
+    Hunyuan3DPaintPipeline            — mesh + image → textured mesh
+    ShapeVAE.latents2mesh, enable_flashvdm, FloaterRemover, FaceReducer, ...
+"""
+
+__version__ = "0.1.0"
+
+from hunyuan3d2_tpu.utils.logger import get_logger  # noqa: F401
+from hunyuan3d2_tpu.utils.timer import synchronize_timer  # noqa: F401
+
+
+def _lazy(name):
+    import importlib
+
+    def load():
+        mod, attr = name.rsplit(".", 1)
+        return getattr(importlib.import_module(mod), attr)
+
+    return load
+
+
+# Lazy imports so that `import hunyuan3d2_tpu` stays cheap.
+def __getattr__(attr):
+    table = {
+        "Hunyuan3DDiTFlowMatchingPipeline": "hunyuan3d2_tpu.pipelines.shapegen.Hunyuan3DDiTFlowMatchingPipeline",
+        "Hunyuan3DDiTPipeline": "hunyuan3d2_tpu.pipelines.shapegen.Hunyuan3DDiTPipeline",
+        "Hunyuan3DPaintPipeline": "hunyuan3d2_tpu.pipelines.texgen.Hunyuan3DPaintPipeline",
+        "ShapeVAE": "hunyuan3d2_tpu.models.shapevae.ShapeVAE",
+        "Mesh": "hunyuan3d2_tpu.geometry.mesh.Mesh",
+    }
+    if attr in table:
+        return _lazy(table[attr])()
+    raise AttributeError(f"module {__name__!r} has no attribute {attr!r}")

@@ -1,0 +1,233 @@
+"""ShapeVAE (decoder-only vector-set VAE), TPU-native.
+
+Behavioral parity: reference hy3dgen/shapegen/models/autoencoders/model.py
+(ShapeVAE :132, forward :186, latents2mesh :105) and attention_blocks.py
+(Transformer :397, CrossAttentionDecoder :435, QKV(Cross)Attention with
+per-head LayerNorm qk-norm). Production config (project/image3d/shape.py:31-47):
+num_latents 512 (mini) / 3072 (v2-0), embed_dim 64, width 1024, heads 16,
+16 decoder layers, scale_factor 1.0188137142395404, fourier num_freqs 8.
+
+TPU-first design:
+  * ``post_kl`` + 16-layer self-attention transformer is one jitted call;
+  * the geo decoder's cross-attention K/V over latent tokens is computed ONCE
+    per mesh (parity with the reference kv_cache, attention_blocks.py:246-257)
+    and passed as a constant into the per-chunk query decode;
+  * query decoding is a pure fixed-shape function [B, P, 3] → [B, P, 1] that
+    the volume decoders (volume/decoders.py) map over grid tiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from hunyuan3d2_tpu.ops.attention import attention, merge_heads
+from hunyuan3d2_tpu.ops.embeddings import fourier_embed, fourier_out_dim
+from hunyuan3d2_tpu.ops.nn import Linear, gelu_exact, layer_norm
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class ShapeVAEConfig:
+    num_latents: int = 512
+    embed_dim: int = 64
+    width: int = 1024
+    heads: int = 16
+    num_decoder_layers: int = 16
+    num_freqs: int = 8
+    include_pi: bool = False
+    scale_factor: float = 1.0188137142395404
+    geo_decoder_mlp_expand_ratio: int = 4
+    out_channels: int = 1
+    qkv_bias: bool = False
+    ln_eps: float = 1e-6
+
+    @property
+    def head_dim(self) -> int:
+        return self.width // self.heads
+
+
+MINI = ShapeVAEConfig(num_latents=512)
+FULL = ShapeVAEConfig(num_latents=3072)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+def _init_self_block(key, cfg: ShapeVAEConfig):
+    w = cfg.width
+    ks = jax.random.split(key, 4)
+    return {
+        "ln_1_scale": jnp.ones((w,), jnp.float32),
+        "ln_1_bias": jnp.zeros((w,), jnp.float32),
+        "c_qkv": Linear.init(ks[0], w, 3 * w, bias=cfg.qkv_bias),
+        "q_norm_scale": jnp.ones((cfg.head_dim,), jnp.float32),
+        "q_norm_bias": jnp.zeros((cfg.head_dim,), jnp.float32),
+        "k_norm_scale": jnp.ones((cfg.head_dim,), jnp.float32),
+        "k_norm_bias": jnp.zeros((cfg.head_dim,), jnp.float32),
+        "c_proj": Linear.init(ks[1], w, w),
+        "ln_2_scale": jnp.ones((w,), jnp.float32),
+        "ln_2_bias": jnp.zeros((w,), jnp.float32),
+        "mlp_fc": Linear.init(ks[2], w, 4 * w),
+        "mlp_proj": Linear.init(ks[3], 4 * w, w),
+    }
+
+
+def init(key, cfg: ShapeVAEConfig = MINI):
+    w = cfg.width
+    ks = jax.random.split(key, 9)
+    blocks = [_init_self_block(k, cfg) for k in jax.random.split(ks[0], cfg.num_decoder_layers)]
+    qdim = fourier_out_dim(3, cfg.num_freqs)
+    return {
+        "post_kl": Linear.init(ks[1], cfg.embed_dim, w),
+        "transformer": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "geo_decoder": {
+            "query_proj": Linear.init(ks[2], qdim, w),
+            "ln_1_scale": jnp.ones((w,), jnp.float32),
+            "ln_1_bias": jnp.zeros((w,), jnp.float32),
+            "ln_2_scale": jnp.ones((w,), jnp.float32),
+            "ln_2_bias": jnp.zeros((w,), jnp.float32),
+            "c_q": Linear.init(ks[3], w, w, bias=cfg.qkv_bias),
+            "c_kv": Linear.init(ks[4], w, 2 * w, bias=cfg.qkv_bias),
+            "q_norm_scale": jnp.ones((cfg.head_dim,), jnp.float32),
+            "q_norm_bias": jnp.zeros((cfg.head_dim,), jnp.float32),
+            "k_norm_scale": jnp.ones((cfg.head_dim,), jnp.float32),
+            "k_norm_bias": jnp.zeros((cfg.head_dim,), jnp.float32),
+            "c_proj": Linear.init(ks[5], w, w),
+            "ln_3_scale": jnp.ones((w,), jnp.float32),
+            "ln_3_bias": jnp.zeros((w,), jnp.float32),
+            "mlp_fc": Linear.init(ks[6], w, cfg.geo_decoder_mlp_expand_ratio * w),
+            "mlp_proj": Linear.init(ks[7], cfg.geo_decoder_mlp_expand_ratio * w, w),
+            "ln_post_scale": jnp.ones((w,), jnp.float32),
+            "ln_post_bias": jnp.zeros((w,), jnp.float32),
+            "output_proj": Linear.init(ks[8], w, cfg.out_channels),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+def _self_block(p, x, cfg: ShapeVAEConfig):
+    h = layer_norm(x, p["ln_1_scale"], p["ln_1_bias"], cfg.ln_eps)
+    qkv = Linear.apply(p["c_qkv"], h)
+    b, l, _ = qkv.shape
+    # reference layout: view(b, l, heads, 3*hd) then split → interleaved per head
+    qkv = qkv.reshape(b, l, cfg.heads, 3 * cfg.head_dim)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = layer_norm(q, p["q_norm_scale"], p["q_norm_bias"], cfg.ln_eps)
+    k = layer_norm(k, p["k_norm_scale"], p["k_norm_bias"], cfg.ln_eps)
+    q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+    attn = merge_heads(attention(q, k, v))
+    x = x + Linear.apply(p["c_proj"], attn)
+
+    h = layer_norm(x, p["ln_2_scale"], p["ln_2_bias"], cfg.ln_eps)
+    x = x + Linear.apply(p["mlp_proj"], gelu_exact(Linear.apply(p["mlp_fc"], h)))
+    return x
+
+
+def decode_latents(params, cfg: ShapeVAEConfig, latents: Array) -> Array:
+    """[B, L, embed_dim] sampled latents → [B, L, width] hidden tokens.
+    Includes the 1/scale_factor rescale (reference pipelines.py:654)."""
+    latents = latents / cfg.scale_factor
+    x = Linear.apply(params["post_kl"], latents)
+
+    def body(xc, p):
+        return _self_block(p, xc, cfg), None
+
+    x, _ = jax.lax.scan(body, x, params["transformer"])
+    return x
+
+
+def compute_kv(params, cfg: ShapeVAEConfig, hidden: Array):
+    """Precompute the geo-decoder cross-attention K/V once per mesh
+    (parity: kv_cache at attention_blocks.py:246-257).
+
+    hidden: [B, L, width] → (k, v) each [B, heads, L, head_dim], with the
+    per-head k LayerNorm already applied."""
+    g = params["geo_decoder"]
+    data = layer_norm(hidden, g["ln_2_scale"], g["ln_2_bias"], cfg.ln_eps)
+    kv = Linear.apply(g["c_kv"], data)
+    b, l, _ = kv.shape
+    kv = kv.reshape(b, l, cfg.heads, 2 * cfg.head_dim)
+    k, v = jnp.split(kv, 2, axis=-1)
+    k = layer_norm(k, g["k_norm_scale"], g["k_norm_bias"], cfg.ln_eps)
+    return k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+
+
+def decode_queries(params, cfg: ShapeVAEConfig, queries: Array, kv) -> Array:
+    """Occupancy logits for a tile of xyz queries.
+
+    queries: [B, P, 3] in [-1.01, 1.01]; kv from :func:`compute_kv`.
+    Returns [B, P] logits (last singleton channel squeezed).
+    """
+    g = params["geo_decoder"]
+    k, v = kv
+    q_in = fourier_embed(queries, cfg.num_freqs, cfg.include_pi).astype(k.dtype)
+    x = Linear.apply(g["query_proj"], q_in)
+
+    h = layer_norm(x, g["ln_1_scale"], g["ln_1_bias"], cfg.ln_eps)
+    q = Linear.apply(g["c_q"], h)
+    b, p, _ = q.shape
+    q = q.reshape(b, p, cfg.heads, cfg.head_dim)
+    q = layer_norm(q, g["q_norm_scale"], g["q_norm_bias"], cfg.ln_eps)
+    q = q.transpose(0, 2, 1, 3)
+    attn = merge_heads(attention(q, k, v))
+    x = x + Linear.apply(g["c_proj"], attn)
+
+    h = layer_norm(x, g["ln_3_scale"], g["ln_3_bias"], cfg.ln_eps)
+    x = x + Linear.apply(g["mlp_proj"], gelu_exact(Linear.apply(g["mlp_fc"], h)))
+
+    x = layer_norm(x, g["ln_post_scale"], g["ln_post_bias"])
+    occ = Linear.apply(g["output_proj"], x)
+    return occ[..., 0]
+
+
+class ShapeVAE:
+    """Object façade matching the reference public surface
+    (``ShapeVAE.forward`` / ``latents2mesh`` / ``enable_flashvdm_decoder``,
+    model.py:105-189). Holds (params, cfg) and dispatches to the pure fns."""
+
+    def __init__(self, params, cfg: ShapeVAEConfig):
+        self.params = params
+        self.cfg = cfg
+        self.volume_decoder = None  # set lazily (VanillaVolumeDecoder default)
+        self.surface_extractor = None
+
+    @classmethod
+    def init_random(cls, key, cfg: ShapeVAEConfig = MINI):
+        return cls(init(key, cfg), cfg)
+
+    def __call__(self, latents: Array) -> Array:
+        return decode_latents(self.params, self.cfg, latents)
+
+    def enable_flashvdm_decoder(self, enabled: bool = True, topk_mode: str = "mean",
+                                mc_algo: str = "mc", adaptive_kv_selection=True):
+        from hunyuan3d2_tpu.volume import decoders, surface
+
+        if enabled:
+            self.volume_decoder = decoders.FlashVDMVolumeDecoding(topk_mode)
+        else:
+            self.volume_decoder = decoders.HierarchicalVolumeDecoding()
+        self.surface_extractor = surface.SurfaceExtractors[mc_algo]()
+
+    def latents2mesh(self, latents: Array, octree_resolution: int = 384,
+                     mc_level: float = 0.0, num_chunks: int = 65536,
+                     mc_algo: str = "mc", box_v: float = 1.01, **kwargs):
+        from hunyuan3d2_tpu.volume import decoders, surface
+
+        if self.volume_decoder is None:
+            self.volume_decoder = decoders.VanillaVolumeDecoder()
+        if self.surface_extractor is None:
+            self.surface_extractor = surface.SurfaceExtractors[mc_algo]()
+        hidden = decode_latents(self.params, self.cfg, latents)
+        kv = compute_kv(self.params, self.cfg, hidden)
+        decode_fn = lambda pts: decode_queries(self.params, self.cfg, pts, kv)
+        grid_logits = self.volume_decoder(
+            decode_fn, batch_size=latents.shape[0],
+            octree_resolution=octree_resolution, num_chunks=num_chunks, box_v=box_v,
+        )
+        return self.surface_extractor(grid_logits, mc_level=mc_level, box_v=box_v)

@@ -1,0 +1,200 @@
+"""Latent → dense SDF/occupancy grid decoding, TPU-native.
+
+Behavioral parity: reference hy3dgen/shapegen/models/autoencoders/
+volume_decoders.py (VanillaVolumeDecoder :141, HierarchicalVolumeDecoding
+:185, FlashVDMVolumeDecoding :280, generate_dense_grid_points :122).
+
+TPU-first redesign (SURVEY.md §7 hard-part 1 — dynamic sparsity → static
+shapes). The reference's hierarchical paths are built on data-dependent
+``torch.where`` gathers and variable-length buckets; none of that is jittable.
+We recast them as **block-sparse fixed-capacity** passes:
+
+  * the fine grid is partitioned into BLOCK³ sub-grids ("blocks");
+  * a cheap dense coarse pass marks near-surface blocks (sign change among
+    the block's coarse corners, dilated — parity with the conv-ones dilation
+    at volume_decoders.py:224);
+  * ``lax.top_k`` over per-block scores selects a FIXED number of blocks;
+  * selected blocks are decoded densely (queries inside a block are contiguous
+    → perfectly shaped [K, BLOCK³, …] batched matmuls on the MXU);
+  * results scatter back into a trilinearly-upsampled coarse grid whose sign
+    is already correct away from the surface.
+
+Everything is traced once per (resolution, capacity) and runs without host
+round-trips. Grid coordinates are generated on device from iota (no 653 MB
+host xyz tensor — reference project/image3d/shape.py:85-87).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def grid_coords_from_flat(flat_idx: Array, res: int, box_v: float) -> Array:
+    """Map flat indices in [0, res³) to xyz coords of a res³ lattice spanning
+    [-box_v, box_v] (ij indexing: x-major, parity with torch.meshgrid 'ij')."""
+    step = 2.0 * box_v / (res - 1)
+    iz = flat_idx % res
+    iy = (flat_idx // res) % res
+    ix = flat_idx // (res * res)
+    xyz = jnp.stack([ix, iy, iz], axis=-1).astype(jnp.float32)
+    return xyz * step - box_v
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class VanillaVolumeDecoder:
+    """Dense decode of all (res+1)³ grid points, tiled into fixed-size chunks
+    via ``lax.map`` (parity: volume_decoders.py:141-183 chunked loop)."""
+
+    def __call__(self, decode_fn, batch_size: int, octree_resolution: int,
+                 num_chunks: int = 65536, box_v: float = 1.01, **kwargs) -> Array:
+        res = octree_resolution + 1
+        total = res ** 3
+        chunk = min(num_chunks, total)
+        n_chunks = _cdiv(total, chunk)
+
+        def one_chunk(start):
+            flat = start + jnp.arange(chunk)
+            flat = jnp.minimum(flat, total - 1)  # clamp tail padding
+            pts = grid_coords_from_flat(flat, res, box_v)
+            pts = jnp.broadcast_to(pts[None], (batch_size, chunk, 3))
+            return decode_fn(pts).astype(jnp.float32)  # [B, chunk]
+
+        starts = jnp.arange(n_chunks) * chunk
+        logits = jax.lax.map(one_chunk, starts)          # [n_chunks, B, chunk]
+        logits = jnp.moveaxis(logits, 1, 0).reshape(batch_size, n_chunks * chunk)
+        return logits[:, :total].reshape(batch_size, res, res, res)
+
+
+def _near_surface_blocks(coarse: Array, level: float) -> Array:
+    """Per-cell near-surface mask on a coarse grid [B, r, r, r] → mask over
+    the (r-1)³ cells: True where the 8 cell corners disagree in sign, then
+    dilated by one cell (parity: extract_near_surface_volume_fn + Conv3d-ones
+    dilation, volume_decoders.py:29, :224)."""
+    occ = coarse > level
+    c = occ
+    # 8-corner agreement via shifted slices
+    agree_all = None
+    base = c[:, :-1, :-1, :-1]
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                corner = c[:, dx:c.shape[1] - 1 + dx, dy:c.shape[2] - 1 + dy, dz:c.shape[3] - 1 + dz]
+                eq = corner == base
+                agree_all = eq if agree_all is None else (agree_all & eq)
+    near = ~agree_all  # [B, r-1, r-1, r-1]
+    # dilate by 1 with a 3³ max-pool
+    near = jax.lax.reduce_window(
+        near.astype(jnp.int32), 0, jax.lax.max,
+        (1, 3, 3, 3), (1, 1, 1, 1), "SAME",
+    )
+    return near > 0
+
+
+class HierarchicalVolumeDecoding:
+    """Coarse→fine block-sparse decoding with a fixed block budget.
+
+    Parity target: HierarchicalVolumeDecoding (volume_decoders.py:185-277) —
+    same coarse-then-refine semantics, redesigned to static shapes (see module
+    docstring). ``block`` is the fine-grid tile edge; ``capacity_frac`` bounds
+    how many blocks are decoded at full resolution (the surface of a shape
+    occupies O(R²) of R³ cells, so ~8-15% is generous at 256-384).
+    """
+
+    def __init__(self, block: int = 8, capacity_frac: float = 0.12,
+                 coarse_factor: int = 4):
+        self.block = block
+        self.capacity_frac = capacity_frac
+        self.coarse_factor = coarse_factor
+
+    def __call__(self, decode_fn, batch_size: int, octree_resolution: int,
+                 num_chunks: int = 65536, box_v: float = 1.01,
+                 mc_level: float = 0.0, **kwargs) -> Array:
+        assert batch_size == 1, "hierarchical decode is per-mesh (B=1), vmap for more"
+        res = octree_resolution + 1
+        block = self.block
+        nb = _cdiv(res, block)              # blocks per axis
+        res_pad = nb * block
+        cf = self.coarse_factor
+
+        # --- coarse pass: one sample per (block/cf granularity) -------------
+        coarse_res = nb * cf + 1            # cf samples per block edge + fence
+        coarse = VanillaVolumeDecoder()(
+            decode_fn, batch_size, coarse_res - 1, num_chunks, box_v)
+
+        # --- score blocks ----------------------------------------------------
+        near = _near_surface_blocks(coarse, mc_level)    # [B, nc, nc, nc] cells
+        # aggregate cell mask to blocks: each block spans cf coarse cells
+        nc = coarse_res - 1
+        pad = (-nc) % cf
+        nearp = jnp.pad(near.astype(jnp.float32), ((0, 0), (0, pad), (0, pad), (0, pad)))
+        blocks_score = nearp.reshape(1, nb, cf, nb, cf, nb, cf).sum(axis=(2, 4, 6))
+        flat_score = blocks_score.reshape(-1)            # [nb³]
+
+        k = max(1, min(int(nb ** 3 * self.capacity_frac), nb ** 3))
+        _, blk_idx = jax.lax.top_k(flat_score, k)        # [k] flat block ids
+
+        # --- decode selected blocks densely ----------------------------------
+        bz = blk_idx % nb
+        by = (blk_idx // nb) % nb
+        bx = blk_idx // (nb * nb)
+        step = 2.0 * box_v / (res - 1)
+        # local offsets within a block
+        loc = jnp.arange(block)
+        lx, ly, lz = jnp.meshgrid(loc, loc, loc, indexing="ij")
+        loff = jnp.stack([lx, ly, lz], -1).reshape(-1, 3)          # [block³,3]
+        origins = jnp.stack([bx, by, bz], -1) * block               # [k,3]
+        idx3 = origins[:, None, :] + loff[None, :, :]               # [k,block³,3]
+        idx3 = jnp.minimum(idx3, res - 1)
+        pts = idx3.astype(jnp.float32) * step - box_v               # [k,block³,3]
+
+        # chunk the k blocks to bound per-call memory
+        blocks_per_chunk = max(1, num_chunks // (block ** 3))
+        n_chunks = _cdiv(k, blocks_per_chunk)
+        k_pad = n_chunks * blocks_per_chunk
+        pts = jnp.pad(pts, ((0, k_pad - k), (0, 0), (0, 0)))
+        pts = pts.reshape(n_chunks, blocks_per_chunk * block ** 3, 3)
+
+        fine_vals = jax.lax.map(lambda p: decode_fn(p[None]).astype(jnp.float32)[0], pts)
+        fine_vals = fine_vals.reshape(k_pad, block ** 3)[:k]        # [k, block³]
+
+        # --- background: trilinear upsample of the coarse grid ---------------
+        bg = jax.image.resize(coarse[0], (res_pad, res_pad, res_pad), "trilinear")
+
+        # --- scatter fine blocks over the background --------------------------
+        grid = bg.reshape(nb, block, nb, block, nb, block)
+        grid = grid.transpose(0, 2, 4, 1, 3, 5).reshape(nb ** 3, block ** 3)
+        grid = grid.at[blk_idx].set(fine_vals)
+        grid = grid.reshape(nb, nb, nb, block, block, block)
+        grid = grid.transpose(0, 3, 1, 4, 2, 5).reshape(res_pad, res_pad, res_pad)
+        return grid[None, :res, :res, :res]
+
+
+class FlashVDMVolumeDecoding(HierarchicalVolumeDecoding):
+    """Hierarchical block-sparse decoding + top-k KV pruning.
+
+    Parity target: FlashVDMVolumeDecoding + FlashVDM*CrossAttentionProcessor
+    (volume_decoders.py:280-435, attention_processors.py:29-96): per query
+    group, score the latent keys with a mean query and keep only the top-k
+    K/V before cross-attention. Our groups are the spatial blocks themselves
+    (already contiguous); the pruned decode path lives in
+    models/shapevae.decode_queries_topk and is selected by the pipeline when
+    ``enable_flashvdm`` is on. The block scheduling here is identical to
+    HierarchicalVolumeDecoding (its capacities already give the static-shape
+    win); this subclass exists to carry the topk_mode knob and tighter
+    capacity defaults.
+    """
+
+    def __init__(self, topk_mode: str = "mean", block: int = 8,
+                 capacity_frac: float = 0.10, coarse_factor: int = 4):
+        super().__init__(block=block, capacity_frac=capacity_frac,
+                         coarse_factor=coarse_factor)
+        self.topk_mode = topk_mode
