@@ -57,6 +57,9 @@ class DiTConfig:
 
 MINI = DiTConfig(depth=8, depth_single_blocks=16)
 FULL = DiTConfig(depth=16, depth_single_blocks=32)
+# CI-scale config (tests / smoke): same topology, tiny widths
+TINY = DiTConfig(hidden_size=128, num_heads=4, depth=2, depth_single_blocks=2,
+                 context_in_dim=1536)
 
 
 # ---------------------------------------------------------------------------
@@ -198,6 +201,7 @@ def apply(params, cfg: DiTConfig, x: Array, t: Array, cond: Array,
     guidance: [B] guidance strength, required iff cfg.guidance_embed.
     Returns velocity prediction [B, L, in_channels].
     """
+    cond = cond.astype(x.dtype)  # unify compute dtype (scan carries must match)
     latent = Linear.apply(params["latent_in"], x)
     vec = _mlp_embed(params["time_in"], timestep_embedding(t, 256, time_factor=cfg.time_factor).astype(latent.dtype))
     if cfg.guidance_embed:

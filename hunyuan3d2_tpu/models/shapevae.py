@@ -52,6 +52,8 @@ class ShapeVAEConfig:
 
 MINI = ShapeVAEConfig(num_latents=512)
 FULL = ShapeVAEConfig(num_latents=3072)
+# CI-scale config (tests / smoke)
+TINY = ShapeVAEConfig(num_latents=64, width=128, heads=4, num_decoder_layers=2)
 
 
 # ---------------------------------------------------------------------------

@@ -121,18 +121,23 @@ class Hunyuan3DDiTPipeline:
         CPU tests stay fast; 'giant' matches production."""
         key = key if key is not None else jax.random.PRNGKey(0)
         k1, k2, k3 = jax.random.split(key, 3)
-        dit_cfg = dit_lib.MINI if size == "mini" else dit_lib.FULL
+        dit_cfg = {"tiny": dit_lib.TINY, "mini": dit_lib.MINI,
+                   "full": dit_lib.FULL}[size]
         dit_cfg = dit_cfg if not guidance_embed else \
             dit_lib.DiTConfig(**{**dit_cfg.__dict__, "guidance_embed": True})
-        vae_cfg = vae_lib.MINI if size == "mini" else vae_lib.FULL
+        vae_cfg = {"tiny": vae_lib.TINY, "mini": vae_lib.MINI,
+                   "full": vae_lib.FULL}[size]
         if dino == "giant":
             dcfg = conditioner_lib.DinoEncoderConfig()
         else:
             from hunyuan3d2_tpu.models import dinov2
 
+            image_size = 518 if dino == "tiny518" else 112
             dcfg = conditioner_lib.DinoEncoderConfig(
                 dino=dinov2.DinoConfig(hidden_size=1536, num_layers=2, num_heads=24,
-                                       patch_size=14, image_size=518, swiglu_hidden=256))
+                                       patch_size=14, image_size=image_size,
+                                       swiglu_hidden=256),
+                image_size=image_size)
         cond = conditioner_lib.SingleImageEncoder(
             conditioner_lib.DinoImageEncoder.init_random(k3, dcfg))
         return cls(

@@ -121,33 +121,46 @@ class HierarchicalVolumeDecoding:
         assert batch_size == 1, "hierarchical decode is per-mesh (B=1), vmap for more"
         res = octree_resolution + 1
         block = self.block
+        cf = self.coarse_factor
+        assert block % cf == 0, "coarse_factor must divide block"
+        s = block // cf                     # coarse stride in fine-lattice steps
         nb = _cdiv(res, block)              # blocks per axis
         res_pad = nb * block
-        cf = self.coarse_factor
+        step = 2.0 * box_v / (res - 1)
 
-        # --- coarse pass: one sample per (block/cf granularity) -------------
-        coarse_res = nb * cf + 1            # cf samples per block edge + fence
-        coarse = VanillaVolumeDecoder()(
-            decode_fn, batch_size, coarse_res - 1, num_chunks, box_v)
+        # --- coarse pass ALIGNED to the fine lattice -------------------------
+        # coarse point i sits exactly at fine index i*s (clamped to res-1), so
+        # refined blocks and the interpolated background share the zero
+        # crossing bit-exactly at coarse points.
+        ncp = nb * cf + 1                   # coarse points per axis
+        cflat = jnp.arange(ncp ** 3)
+        ciz = cflat % ncp
+        ciy = (cflat // ncp) % ncp
+        cix = cflat // (ncp * ncp)
+        cidx = jnp.stack([cix, ciy, ciz], -1) * s
+        cpts = jnp.minimum(cidx, res - 1).astype(jnp.float32) * step - box_v
 
-        # --- score blocks ----------------------------------------------------
-        near = _near_surface_blocks(coarse, mc_level)    # [B, nc, nc, nc] cells
-        # aggregate cell mask to blocks: each block spans cf coarse cells
-        nc = coarse_res - 1
-        pad = (-nc) % cf
-        nearp = jnp.pad(near.astype(jnp.float32), ((0, 0), (0, pad), (0, pad), (0, pad)))
-        blocks_score = nearp.reshape(1, nb, cf, nb, cf, nb, cf).sum(axis=(2, 4, 6))
-        flat_score = blocks_score.reshape(-1)            # [nb³]
+        chunk = min(num_chunks, ncp ** 3)
+        n_cchunks = _cdiv(ncp ** 3, chunk)
+        cpts_pad = jnp.pad(cpts, ((0, n_cchunks * chunk - ncp ** 3), (0, 0)))
+        cvals = jax.lax.map(
+            lambda p: decode_fn(p[None]).astype(jnp.float32)[0],
+            cpts_pad.reshape(n_cchunks, chunk, 3))
+        coarse = cvals.reshape(-1)[: ncp ** 3].reshape(ncp, ncp, ncp)
+
+        # --- score blocks -----------------------------------------------------
+        near = _near_surface_blocks(coarse[None], mc_level)[0]  # [ncp-1]³ cells
+        blocks_score = near.astype(jnp.float32).reshape(
+            nb, cf, nb, cf, nb, cf).sum(axis=(1, 3, 5))
+        flat_score = blocks_score.reshape(-1)                    # [nb³]
 
         k = max(1, min(int(nb ** 3 * self.capacity_frac), nb ** 3))
-        _, blk_idx = jax.lax.top_k(flat_score, k)        # [k] flat block ids
+        _, blk_idx = jax.lax.top_k(flat_score, k)                # [k] block ids
 
-        # --- decode selected blocks densely ----------------------------------
+        # --- decode selected blocks densely ------------------------------------
         bz = blk_idx % nb
         by = (blk_idx // nb) % nb
         bx = blk_idx // (nb * nb)
-        step = 2.0 * box_v / (res - 1)
-        # local offsets within a block
         loc = jnp.arange(block)
         lx, ly, lz = jnp.meshgrid(loc, loc, loc, indexing="ij")
         loff = jnp.stack([lx, ly, lz], -1).reshape(-1, 3)          # [block³,3]
@@ -156,7 +169,6 @@ class HierarchicalVolumeDecoding:
         idx3 = jnp.minimum(idx3, res - 1)
         pts = idx3.astype(jnp.float32) * step - box_v               # [k,block³,3]
 
-        # chunk the k blocks to bound per-call memory
         blocks_per_chunk = max(1, num_chunks // (block ** 3))
         n_chunks = _cdiv(k, blocks_per_chunk)
         k_pad = n_chunks * blocks_per_chunk
@@ -166,10 +178,23 @@ class HierarchicalVolumeDecoding:
         fine_vals = jax.lax.map(lambda p: decode_fn(p[None]).astype(jnp.float32)[0], pts)
         fine_vals = fine_vals.reshape(k_pad, block ** 3)[:k]        # [k, block³]
 
-        # --- background: trilinear upsample of the coarse grid ---------------
-        bg = jax.image.resize(coarse[0], (res_pad, res_pad, res_pad), "trilinear")
+        # --- background: exact aligned trilinear interpolation ----------------
+        # fine index f ↔ coarse cell f//s with fraction (f%s)/s per axis
+        f_idx = jnp.arange(res_pad)
+        c0 = jnp.minimum(f_idx // s, ncp - 2)
+        frac = (f_idx - c0 * s).astype(jnp.float32) / s
 
-        # --- scatter fine blocks over the background --------------------------
+        def lerp_axis(arr, axis):
+            a0 = jnp.take(arr, c0, axis=axis)
+            a1 = jnp.take(arr, c0 + 1, axis=axis)
+            shape = [1, 1, 1]
+            shape[axis] = res_pad
+            fr = frac.reshape(shape)
+            return a0 * (1.0 - fr) + a1 * fr
+
+        bg = lerp_axis(lerp_axis(lerp_axis(coarse, 0), 1), 2)
+
+        # --- scatter fine blocks over the background ---------------------------
         grid = bg.reshape(nb, block, nb, block, nb, block)
         grid = grid.transpose(0, 2, 4, 1, 3, 5).reshape(nb ** 3, block ** 3)
         grid = grid.at[blk_idx].set(fine_vals)
