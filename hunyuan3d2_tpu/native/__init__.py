@@ -1,0 +1,106 @@
+"""ctypes bindings for the native CPU runtime (libhy3dnative.so).
+
+Builds on first import if the shared library is missing (g++ is baked into
+the image; no pybind11, so the C ABI + ctypes is the binding layer).
+Public functions return numpy arrays and never expose raw pointers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libhy3dnative.so")
+_lib = None
+
+
+def _build():
+    subprocess.run(["make", "-C", _DIR], check=True, capture_output=True)
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
+            os.path.join(_DIR, "hy3dnative.cpp")):
+        _build()
+    lib = ctypes.CDLL(_SO)
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i64p = ctypes.POINTER(ctypes.c_int64)
+
+    lib.hy3d_rasterize.argtypes = [f32p, ctypes.c_int64, i32p, ctypes.c_int64,
+                                   ctypes.c_int, ctypes.c_int, i32p, f32p, f32p]
+    lib.hy3d_vertex_inpaint.argtypes = [
+        f32p, u8p, f32p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        f32p, ctypes.c_int64, f32p, ctypes.c_int64, i32p, i32p, ctypes.c_int64]
+    lib.hy3d_face_components.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64, i32p]
+    lib.hy3d_face_components.restype = ctypes.c_int32
+    lib.hy3d_simplify.argtypes = [f32p, ctypes.c_int64, i32p, ctypes.c_int64,
+                                  ctypes.c_int64, f32p, i64p, i32p, i64p]
+    _lib = lib
+    return lib
+
+
+def rasterize(verts_clip: np.ndarray, faces: np.ndarray, height: int, width: int):
+    """verts_clip [N,4] float32 clip-space, faces [M,3] int32 →
+    (face_id [H,W] int32 with -1 empty, bary [H,W,3] f32, depth [H,W] f32).
+    Deterministic z-resolve (nearest depth, ties → lowest face id), matching
+    the reference's packed-token contract (SURVEY.md §5 race detection)."""
+    lib = get_lib()
+    verts_clip = np.ascontiguousarray(verts_clip, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    face_id = np.empty((height, width), np.int32)
+    bary = np.empty((height, width, 3), np.float32)
+    depth = np.empty((height, width), np.float32)
+    lib.hy3d_rasterize(verts_clip, len(verts_clip), faces, len(faces),
+                       height, width, face_id, bary, depth)
+    return face_id, bary, depth
+
+
+def vertex_inpaint(texture: np.ndarray, mask: np.ndarray, vtx_pos: np.ndarray,
+                   vtx_uv: np.ndarray, pos_idx: np.ndarray, uv_idx: np.ndarray):
+    """Propagate painted vertex colors along the mesh graph into unpainted
+    texels (parity: meshVerticeInpaint, texgen mesh_processor)."""
+    lib = get_lib()
+    texture = np.ascontiguousarray(texture, np.float32)
+    mask = np.ascontiguousarray(mask, np.uint8)
+    th, tw, tc = texture.shape
+    out_tex = np.empty_like(texture)
+    out_mask = np.empty_like(mask)
+    lib.hy3d_vertex_inpaint(
+        texture, mask, out_tex, out_mask, th, tw, tc,
+        np.ascontiguousarray(vtx_pos, np.float32), len(vtx_pos),
+        np.ascontiguousarray(vtx_uv, np.float32), len(vtx_uv),
+        np.ascontiguousarray(pos_idx, np.int32),
+        np.ascontiguousarray(uv_idx, np.int32), len(pos_idx))
+    return out_tex, out_mask
+
+
+def face_components(faces: np.ndarray, num_vertices: int):
+    """Label connected components of the face graph. → (labels [M], count)."""
+    lib = get_lib()
+    faces = np.ascontiguousarray(faces, np.int32)
+    labels = np.empty(len(faces), np.int32)
+    n = lib.hy3d_face_components(faces, len(faces), num_vertices, labels)
+    return labels, int(n)
+
+
+def simplify(verts: np.ndarray, faces: np.ndarray, target_faces: int):
+    """Quadric edge-collapse decimation to ≈target_faces."""
+    lib = get_lib()
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    out_v = np.empty_like(verts)
+    out_f = np.empty_like(faces)
+    onv = ctypes.c_int64()
+    onf = ctypes.c_int64()
+    lib.hy3d_simplify(verts, len(verts), faces, len(faces), target_faces,
+                      out_v, ctypes.byref(onv), out_f, ctypes.byref(onf))
+    return out_v[: onv.value].copy(), out_f[: onf.value].copy()

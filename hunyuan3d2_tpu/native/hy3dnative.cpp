@@ -1,0 +1,457 @@
+// hy3dnative — native CPU runtime components for hunyuan3d2_tpu.
+//
+// Plays the role of the reference's native layer (SURVEY.md §2.3):
+//   * custom_rasterizer kernel (z-buffer triangle rasterization with a
+//     deterministic packed depth|face-id resolve — same contract as the
+//     reference's atomicMin-packed-token design, rasterizer.cpp/_gpu.cu),
+//   * mesh_processor vertex-graph texture inpainting,
+//   * mesh simplifier (the reference shells out to a prebuilt
+//     mesh_simplifier.bin and pymeshlab quadric collapse; ours is an
+//     in-process Garland–Heckbert quadric edge-collapse),
+//   * connected-component face labeling (pymeshlab floater removal
+//     equivalent).
+//
+// All fresh implementations; C ABI for ctypes binding (no pybind11 in the
+// image). Parallel loops use OpenMP with deterministic reductions.
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <queue>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Rasterization
+// ---------------------------------------------------------------------------
+// verts_ndc: [nv,4] clip-space positions (x,y in [-1,1] after divide, z depth,
+// w for perspective). faces: [nf,3]. Output:
+//   face_id:  [h,w] int32, -1 where empty, else face index
+//   bary:     [h,w,3] float32 perspective-corrected barycentrics
+//   depth:    [h,w] float32
+// Deterministic: nearest depth wins; ties broken by lowest face id (the
+// packed uint64 compare gives exactly that ordering).
+void hy3d_rasterize(const float* verts, int64_t nv, const int32_t* faces,
+                    int64_t nf, int h, int w, int32_t* face_id, float* bary,
+                    float* depth) {
+  (void)nv;
+  std::vector<std::atomic<uint64_t>> zbuf(static_cast<size_t>(h) * w);
+  const uint64_t EMPTY = ~0ull;
+  for (auto& z : zbuf) z.store(EMPTY, std::memory_order_relaxed);
+
+#pragma omp parallel for schedule(dynamic, 64)
+  for (int64_t f = 0; f < nf; ++f) {
+    const int32_t* tri = faces + 3 * f;
+    float sx[3], sy[3], sz[3], sw[3];
+    for (int k = 0; k < 3; ++k) {
+      const float* v = verts + 4 * tri[k];
+      float vw = v[3] == 0.f ? 1e-8f : v[3];
+      sx[k] = (v[0] / vw * 0.5f + 0.5f) * (w - 1);
+      sy[k] = (0.5f - v[1] / vw * 0.5f) * (h - 1);
+      sz[k] = v[2] / vw;
+      sw[k] = vw;
+    }
+    float area = (sx[1] - sx[0]) * (sy[2] - sy[0]) - (sx[2] - sx[0]) * (sy[1] - sy[0]);
+    if (std::fabs(area) < 1e-12f) continue;
+    int x0 = std::max(0, (int)std::floor(std::min({sx[0], sx[1], sx[2]})));
+    int x1 = std::min(w - 1, (int)std::ceil(std::max({sx[0], sx[1], sx[2]})));
+    int y0 = std::max(0, (int)std::floor(std::min({sy[0], sy[1], sy[2]})));
+    int y1 = std::min(h - 1, (int)std::ceil(std::max({sy[0], sy[1], sy[2]})));
+    for (int y = y0; y <= y1; ++y) {
+      for (int x = x0; x <= x1; ++x) {
+        float px = (float)x, py = (float)y;
+        float w0 = ((sx[1] - px) * (sy[2] - py) - (sx[2] - px) * (sy[1] - py)) / area;
+        float w1 = ((sx[2] - px) * (sy[0] - py) - (sx[0] - px) * (sy[2] - py)) / area;
+        float w2 = 1.f - w0 - w1;
+        if (w0 < 0.f || w1 < 0.f || w2 < 0.f) continue;
+        float z = w0 * sz[0] + w1 * sz[1] + w2 * sz[2];
+        if (z < 0.f) z = 0.f;
+        if (z > 1.f) z = 1.f;
+        // pack depth (high bits) | face id (low bits): min == nearest, tie →
+        // lowest face id. Deterministic under concurrent updates.
+        uint64_t key = ((uint64_t)(z * 4294967295.0f) << 32) | (uint32_t)f;
+        std::atomic<uint64_t>& cell = zbuf[(size_t)y * w + x];
+        uint64_t cur = cell.load(std::memory_order_relaxed);
+        while (key < cur &&
+               !cell.compare_exchange_weak(cur, key, std::memory_order_relaxed)) {
+        }
+      }
+    }
+  }
+
+  // second pass: recover barycentrics (perspective-corrected)
+#pragma omp parallel for schedule(static)
+  for (int64_t p = 0; p < (int64_t)h * w; ++p) {
+    uint64_t key = zbuf[p].load(std::memory_order_relaxed);
+    if (key == EMPTY) {
+      face_id[p] = -1;
+      depth[p] = 0.f;
+      bary[3 * p] = bary[3 * p + 1] = bary[3 * p + 2] = 0.f;
+      continue;
+    }
+    int32_t f = (int32_t)(key & 0xffffffffu);
+    face_id[p] = f;
+    depth[p] = (float)(key >> 32) / 4294967295.0f;
+    const int32_t* tri = faces + 3 * f;
+    int x = (int)(p % w), y = (int)(p / w);
+    float sx[3], sy[3], sw[3];
+    for (int k = 0; k < 3; ++k) {
+      const float* v = verts + 4 * tri[k];
+      float vw = v[3] == 0.f ? 1e-8f : v[3];
+      sx[k] = (v[0] / vw * 0.5f + 0.5f) * (w - 1);
+      sy[k] = (0.5f - v[1] / vw * 0.5f) * (h - 1);
+      sw[k] = vw;
+    }
+    float area = (sx[1] - sx[0]) * (sy[2] - sy[0]) - (sx[2] - sx[0]) * (sy[1] - sy[0]);
+    float px = (float)x, py = (float)y;
+    float w0 = ((sx[1] - px) * (sy[2] - py) - (sx[2] - px) * (sy[1] - py)) / area;
+    float w1 = ((sx[2] - px) * (sy[0] - py) - (sx[0] - px) * (sy[2] - py)) / area;
+    float w2 = 1.f - w0 - w1;
+    // perspective correction: weights / w, renormalized
+    float iw0 = w0 / sw[0], iw1 = w1 / sw[1], iw2 = w2 / sw[2];
+    float s = iw0 + iw1 + iw2;
+    if (s != 0.f) {
+      iw0 /= s;
+      iw1 /= s;
+      iw2 /= s;
+    }
+    bary[3 * p] = iw0;
+    bary[3 * p + 1] = iw1;
+    bary[3 * p + 2] = iw2;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Vertex-graph texture inpainting (parity: mesh_processor.meshVerticeInpaint,
+// differentiable_renderer/mesh_processor.cpp:12-156 behavior).
+// ---------------------------------------------------------------------------
+void hy3d_vertex_inpaint(const float* texture, const uint8_t* mask,
+                         float* out_texture, uint8_t* out_mask, int th, int tw,
+                         int tc, const float* vtx_pos, int64_t nv,
+                         const float* vtx_uv, int64_t nuv, const int32_t* pos_idx,
+                         const int32_t* uv_idx, int64_t nf) {
+  (void)nuv;
+  std::vector<float> vcolor((size_t)nv * tc, 0.f);
+  std::vector<uint8_t> vmask(nv, 0);
+  std::vector<std::vector<int32_t>> graph(nv);
+  std::vector<int32_t> uncolored;
+  uncolored.reserve(nv);
+
+  auto texel = [&](int32_t uvi, int& u, int& v) {
+    v = (int)std::lround(vtx_uv[2 * uvi] * (tw - 1));
+    u = (int)std::lround((1.0f - vtx_uv[2 * uvi + 1]) * (th - 1));
+    v = std::min(std::max(v, 0), tw - 1);
+    u = std::min(std::max(u, 0), th - 1);
+  };
+
+  std::vector<uint8_t> seen(nv, 0);
+  for (int64_t i = 0; i < nf; ++i) {
+    for (int k = 0; k < 3; ++k) {
+      int32_t vi = pos_idx[3 * i + k];
+      int32_t ti = uv_idx[3 * i + k];
+      int u, v;
+      texel(ti, u, v);
+      if (mask[(size_t)u * tw + v] > 0) {
+        vmask[vi] = 1;
+        for (int c = 0; c < tc; ++c)
+          vcolor[(size_t)vi * tc + c] = texture[((size_t)u * tw + v) * tc + c];
+      } else if (!seen[vi]) {
+        uncolored.push_back(vi);
+      }
+      seen[vi] = 1;
+      graph[vi].push_back(pos_idx[3 * i + (k + 1) % 3]);
+    }
+  }
+
+  int smooth_count = 2;
+  int64_t last_uncolored = -1;
+  while (smooth_count > 0) {
+    int64_t still_uncolored = 0;
+    for (int32_t vi : uncolored) {
+      if (vmask[vi]) continue;
+      float total_w = 0.f;
+      std::vector<float> sum(tc, 0.f);
+      const float* p0 = vtx_pos + 3 * vi;
+      for (int32_t nb : graph[vi]) {
+        if (!vmask[nb]) continue;
+        const float* p1 = vtx_pos + 3 * nb;
+        float dx = p0[0] - p1[0], dy = p0[1] - p1[1], dz = p0[2] - p1[2];
+        float dist = std::sqrt(dx * dx + dy * dy + dz * dz);
+        float wgt = 1.f / std::max(dist, 1e-4f);
+        wgt *= wgt;
+        for (int c = 0; c < tc; ++c) sum[c] += vcolor[(size_t)nb * tc + c] * wgt;
+        total_w += wgt;
+      }
+      if (total_w > 0.f) {
+        for (int c = 0; c < tc; ++c) vcolor[(size_t)vi * tc + c] = sum[c] / total_w;
+        vmask[vi] = 2;  // colored this sweep; activates next sweep
+      } else {
+        ++still_uncolored;
+      }
+    }
+    for (int32_t vi : uncolored)
+      if (vmask[vi] == 2) vmask[vi] = 1;
+    if (still_uncolored == last_uncolored)
+      --smooth_count;
+    else
+      ++smooth_count;
+    last_uncolored = still_uncolored;
+    if (still_uncolored == 0) break;
+  }
+
+  std::memcpy(out_texture, texture, (size_t)th * tw * tc * sizeof(float));
+  std::memcpy(out_mask, mask, (size_t)th * tw);
+  for (int64_t i = 0; i < nf; ++i) {
+    for (int k = 0; k < 3; ++k) {
+      int32_t vi = pos_idx[3 * i + k];
+      if (!vmask[vi]) continue;
+      int u, v;
+      texel(uv_idx[3 * i + k], u, v);
+      for (int c = 0; c < tc; ++c)
+        out_texture[((size_t)u * tw + v) * tc + c] = vcolor[(size_t)vi * tc + c];
+      out_mask[(size_t)u * tw + v] = 255;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Connected components over the face graph (shared-vertex adjacency).
+// labels: [nf] int32 component id; returns number of components.
+// ---------------------------------------------------------------------------
+int32_t hy3d_face_components(const int32_t* faces, int64_t nf, int64_t nv,
+                             int32_t* labels) {
+  std::vector<int32_t> parent(nv);
+  for (int64_t i = 0; i < nv; ++i) parent[i] = (int32_t)i;
+  std::function<int32_t(int32_t)> find = [&](int32_t x) {
+    while (parent[x] != x) {
+      parent[x] = parent[parent[x]];
+      x = parent[x];
+    }
+    return x;
+  };
+  for (int64_t f = 0; f < nf; ++f) {
+    int32_t a = find(faces[3 * f]), b = find(faces[3 * f + 1]),
+            c = find(faces[3 * f + 2]);
+    parent[b] = a;
+    parent[find(c)] = find(a);
+  }
+  std::vector<int32_t> remap(nv, -1);
+  int32_t n_comp = 0;
+  for (int64_t f = 0; f < nf; ++f) {
+    int32_t r = find(faces[3 * f]);
+    if (remap[r] < 0) remap[r] = n_comp++;
+    labels[f] = remap[r];
+  }
+  return n_comp;
+}
+
+// ---------------------------------------------------------------------------
+// Quadric edge-collapse simplification (Garland–Heckbert).
+// ---------------------------------------------------------------------------
+namespace {
+struct Quadric {
+  double m[10] = {0};  // symmetric 4x4: xx xy xz xw yy yz yw zz zw ww
+  void add_plane(double a, double b, double c, double d, double w) {
+    m[0] += w * a * a;
+    m[1] += w * a * b;
+    m[2] += w * a * c;
+    m[3] += w * a * d;
+    m[4] += w * b * b;
+    m[5] += w * b * c;
+    m[6] += w * b * d;
+    m[7] += w * c * c;
+    m[8] += w * c * d;
+    m[9] += w * d * d;
+  }
+  void add(const Quadric& o) {
+    for (int i = 0; i < 10; ++i) m[i] += o.m[i];
+  }
+  double eval(double x, double y, double z) const {
+    return m[0] * x * x + 2 * m[1] * x * y + 2 * m[2] * x * z + 2 * m[3] * x +
+           m[4] * y * y + 2 * m[5] * y * z + 2 * m[6] * y + m[7] * z * z +
+           2 * m[8] * z + m[9];
+  }
+};
+
+struct HeapEdge {
+  double cost;
+  int32_t a, b;
+  uint32_t ver;
+  bool operator<(const HeapEdge& o) const { return cost > o.cost; }
+};
+}  // namespace
+
+void hy3d_simplify(const float* verts, int64_t nv, const int32_t* faces,
+                   int64_t nf, int64_t target_faces, float* out_verts,
+                   int64_t* out_nv, int32_t* out_faces, int64_t* out_nf) {
+  std::vector<double> V(3 * nv);
+  for (int64_t i = 0; i < 3 * nv; ++i) V[i] = verts[i];
+  std::vector<int32_t> F(faces, faces + 3 * nf);
+  std::vector<Quadric> Q(nv);
+  std::vector<uint32_t> version(nv, 0);
+  std::vector<int32_t> rep(nv);
+  for (int64_t i = 0; i < nv; ++i) rep[i] = (int32_t)i;
+  std::function<int32_t(int32_t)> find = [&](int32_t x) {
+    while (rep[x] != x) {
+      rep[x] = rep[rep[x]];
+      x = rep[x];
+    }
+    return x;
+  };
+
+  std::vector<std::vector<int32_t>> vfaces(nv);
+  auto face_plane = [&](int64_t f, double* abcd) -> bool {
+    const double* p0 = &V[3 * F[3 * f]];
+    const double* p1 = &V[3 * F[3 * f + 1]];
+    const double* p2 = &V[3 * F[3 * f + 2]];
+    double ux = p1[0] - p0[0], uy = p1[1] - p0[1], uz = p1[2] - p0[2];
+    double vx = p2[0] - p0[0], vy = p2[1] - p0[1], vz = p2[2] - p0[2];
+    double nx = uy * vz - uz * vy, ny = uz * vx - ux * vz, nz = ux * vy - uy * vx;
+    double len = std::sqrt(nx * nx + ny * ny + nz * nz);
+    if (len < 1e-20) return false;
+    nx /= len;
+    ny /= len;
+    nz /= len;
+    abcd[0] = nx;
+    abcd[1] = ny;
+    abcd[2] = nz;
+    abcd[3] = -(nx * p0[0] + ny * p0[1] + nz * p0[2]);
+    abcd[4] = len * 0.5;  // area weight
+    return true;
+  };
+
+  for (int64_t f = 0; f < nf; ++f) {
+    double pl[5];
+    if (!face_plane(f, pl)) continue;
+    for (int k = 0; k < 3; ++k) {
+      Q[F[3 * f + k]].add_plane(pl[0], pl[1], pl[2], pl[3], pl[4]);
+      vfaces[F[3 * f + k]].push_back((int32_t)f);
+    }
+  }
+
+  auto edge_cost = [&](int32_t a, int32_t b, double* opt) {
+    Quadric q = Q[a];
+    q.add(Q[b]);
+    // candidate positions: midpoint, a, b (skip the 4x4 solve for robustness)
+    double cand[3][3] = {
+        {(V[3 * a] + V[3 * b]) / 2, (V[3 * a + 1] + V[3 * b + 1]) / 2,
+         (V[3 * a + 2] + V[3 * b + 2]) / 2},
+        {V[3 * a], V[3 * a + 1], V[3 * a + 2]},
+        {V[3 * b], V[3 * b + 1], V[3 * b + 2]}};
+    double best = 1e300;
+    for (auto& c : cand) {
+      double e = q.eval(c[0], c[1], c[2]);
+      if (e < best) {
+        best = e;
+        opt[0] = c[0];
+        opt[1] = c[1];
+        opt[2] = c[2];
+      }
+    }
+    return best;
+  };
+
+  std::priority_queue<HeapEdge> heap;
+  auto push_edges_of = [&](int32_t v) {
+    int32_t rv = find(v);
+    for (int32_t f : vfaces[rv]) {
+      for (int k = 0; k < 3; ++k) {
+        int32_t a = find(F[3 * f + k]), b = find(F[3 * f + (k + 1) % 3]);
+        if (a == b) continue;
+        if (a != rv && b != rv) continue;
+        if (a > b) std::swap(a, b);
+        double opt[3];
+        double c = edge_cost(a, b, opt);
+        heap.push({c, a, b, version[a] + version[b]});
+      }
+    }
+  };
+  for (int64_t v = 0; v < nv; ++v) push_edges_of((int32_t)v);
+
+  int64_t live_faces = nf;
+  auto face_alive = [&](int64_t f) {
+    int32_t a = find(F[3 * f]), b = find(F[3 * f + 1]), c = find(F[3 * f + 2]);
+    return a != b && b != c && a != c;
+  };
+
+  int64_t tick = 0;
+  while (live_faces > target_faces && !heap.empty()) {
+    HeapEdge e = heap.top();
+    heap.pop();
+    int32_t a = find(e.a), b = find(e.b);
+    if (a == b) continue;
+    if (a > b) std::swap(a, b);
+    if (version[a] + version[b] != e.ver || a != e.a || b != e.b) continue;
+
+    // collapse b → a at optimal position
+    double opt[3];
+    edge_cost(a, b, opt);
+    V[3 * a] = opt[0];
+    V[3 * a + 1] = opt[1];
+    V[3 * a + 2] = opt[2];
+    Q[a].add(Q[b]);
+    rep[b] = a;
+    version[a]++;
+    version[b]++;
+
+    // merge face lists, count dead faces
+    for (int32_t f : vfaces[b]) vfaces[a].push_back(f);
+    vfaces[b].clear();
+    std::vector<int32_t> keep;
+    keep.reserve(vfaces[a].size());
+    int64_t died = 0;
+    std::vector<uint8_t> dedup;
+    for (int32_t f : vfaces[a]) {
+      if (!face_alive(f)) {
+        ++died;
+        continue;
+      }
+      keep.push_back(f);
+    }
+    std::sort(keep.begin(), keep.end());
+    keep.erase(std::unique(keep.begin(), keep.end()), keep.end());
+    // recount death properly: faces are shared, avoid double counting by a
+    // global recount every collapse being too slow; track via alive scan diff
+    vfaces[a] = std::move(keep);
+    (void)died;
+    // recompute live_faces lazily every 512 collapses
+    if ((++tick & 511) == 0) {
+      live_faces = 0;
+      for (int64_t f = 0; f < nf; ++f) live_faces += face_alive(f) ? 1 : 0;
+    } else {
+      live_faces -= 2;  // typical manifold edge collapse kills 2 faces
+    }
+    push_edges_of(a);
+  }
+
+  // compact output
+  std::vector<int32_t> vmap(nv, -1);
+  int64_t onv = 0, onf = 0;
+  for (int64_t f = 0; f < nf; ++f) {
+    if (!face_alive(f)) continue;
+    int32_t tri[3];
+    for (int k = 0; k < 3; ++k) {
+      int32_t v = find(F[3 * f + k]);
+      if (vmap[v] < 0) {
+        vmap[v] = (int32_t)onv;
+        out_verts[3 * onv] = (float)V[3 * v];
+        out_verts[3 * onv + 1] = (float)V[3 * v + 1];
+        out_verts[3 * onv + 2] = (float)V[3 * v + 2];
+        ++onv;
+      }
+      tri[k] = vmap[v];
+    }
+    out_faces[3 * onf] = tri[0];
+    out_faces[3 * onf + 1] = tri[1];
+    out_faces[3 * onf + 2] = tri[2];
+    ++onf;
+  }
+  *out_nv = onv;
+  *out_nf = onf;
+}
+
+}  // extern "C"
