@@ -41,11 +41,10 @@ def main():
     image = Image.fromarray(img)
 
     kwargs = dict(num_inference_steps=5, guidance_scale=5.0,
-                  octree_resolution=384, num_chunks=262144, seed=12345,
-                  mc_algo="dmc")
+                  octree_resolution=384, num_chunks=262144, mc_algo="dmc")
 
     # warmup (compile)
-    pipe(image=image, **kwargs)
+    pipe(image=image, seed=12345, **kwargs)
 
     n_runs = 3
     t0 = time.perf_counter()

@@ -1,0 +1,112 @@
+"""MeshRender + UV unwrap + camera tests on synthetic geometry."""
+
+import numpy as np
+import pytest
+
+from hunyuan3d2_tpu.geometry import camera as cam
+from hunyuan3d2_tpu.geometry.mesh import Mesh
+from hunyuan3d2_tpu.geometry.render import MeshRender, linear_grid_put_2d
+from hunyuan3d2_tpu.geometry.uv import mesh_uv_wrap, unwrap
+from hunyuan3d2_tpu.volume.surface import SurfaceNetsExtractor
+
+
+def _sphere_mesh(res=40, radius=0.6):
+    lin = np.linspace(-1.01, 1.01, res)
+    x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+    g = (radius - np.sqrt(x * x + y * y + z * z))[None].astype(np.float32)
+    out = SurfaceNetsExtractor()(g, mc_level=0.0)[0]
+    return Mesh(out.mesh_v, out.mesh_f)
+
+
+def test_camera_lookat_origin():
+    mv = cam.get_mv_matrix(elev=0, azim=0, camera_distance=1.45)
+    origin = cam.transform_pos(mv, np.zeros((1, 3)))[0]
+    # origin should sit on the -z axis at the camera distance
+    np.testing.assert_allclose(origin[:2], 0, atol=1e-5)
+    np.testing.assert_allclose(origin[2], -1.45, atol=1e-5)
+    # camera position maps to camera origin
+    er, ar = 0.0, np.radians(90)
+    eye = np.array([1.45 * np.cos(ar), 1.45 * np.sin(ar), 0.0])
+    out = cam.transform_pos(mv, eye[None])[0]
+    np.testing.assert_allclose(out[:3], 0, atol=1e-5)
+
+
+def test_uv_unwrap_valid_and_injective():
+    m = _sphere_mesh()
+    out = mesh_uv_wrap(m)
+    assert out.uv is not None
+    assert out.uv.min() >= 0 and out.uv.max() <= 1
+    # triangle areas in UV should be nonzero for nearly all faces
+    uv = out.uv
+    f = out.faces
+    a = uv[f[:, 1]] - uv[f[:, 0]]
+    b = uv[f[:, 2]] - uv[f[:, 0]]
+    area = np.abs(a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]) / 2
+    assert (area > 1e-10).mean() > 0.95
+    # no face flipping within charts isn't strictly required, but total UV
+    # area should be a sane fraction of the unit square
+    assert 0.05 < area.sum() < 1.0
+
+
+def test_render_normal_and_position_sphere():
+    m = _sphere_mesh()
+    r = MeshRender(default_resolution=128, texture_size=128)
+    r.load_mesh(m)
+    nrm = r.render_normal(elev=0, azim=0, return_type="np")
+    assert nrm.shape == (128, 128, 4)
+    mask = nrm[..., 3] > 0
+    assert 0.1 < mask.mean() < 0.9
+    # front-facing pixels: normal z (camera space, mapped to [0,1]) > 0.5
+    center = nrm[64, 64]
+    assert center[3] == 1.0
+    assert center[2] > 0.8  # facing the camera
+    pos = r.render_position(elev=0, azim=0, return_type="np")
+    assert pos.shape == (128, 128, 4)
+    assert np.abs(pos[..., :3][mask] - 0.5).max() < 0.6
+
+
+def test_textured_render_roundtrip():
+    """Paint the texture solid red → rendered pixels must be red."""
+    m = mesh_uv_wrap(_sphere_mesh())
+    r = MeshRender(default_resolution=96, texture_size=64)
+    r.load_mesh(m)
+    tex = np.zeros((64, 64, 3), np.float32)
+    tex[..., 0] = 1.0
+    r.set_texture(tex)
+    img = r.render(elev=0, azim=0, return_type="np")
+    mask = img[..., 3] > 0
+    assert mask.any()
+    np.testing.assert_allclose(img[..., 0][mask], 1.0, atol=1e-3)
+    np.testing.assert_allclose(img[..., 1][mask], 0.0, atol=1e-3)
+
+
+def test_linear_grid_put_2d():
+    coords = np.array([[0.5, 0.5]], np.float32)
+    vals = np.array([[1.0, 2.0]], np.float32)
+    out = linear_grid_put_2d(5, 5, coords, vals)
+    np.testing.assert_allclose(out[2, 2], [1.0, 2.0], atol=1e-6)
+    assert out.sum() > 0
+
+
+def test_back_project_and_bake_roundtrip():
+    """Render a view of a red-textured sphere, back-project it onto a fresh
+    texture — the baked texels must be red where trusted."""
+    m = mesh_uv_wrap(_sphere_mesh())
+    r = MeshRender(default_resolution=160, texture_size=96)
+    r.load_mesh(m)
+    red = np.zeros((96, 96, 3), np.float32)
+    red[..., 0] = 1.0
+    r.set_texture(red)
+    views = [(0, 0), (0, 90), (0, 180), (0, 270), (90, 0), (-90, 180)]
+    colors = [r.render(e, a, return_type="np")[..., :3] for e, a in views]
+    tex, trust = r.fast_bake_texture(
+        *zip(*[(t, c ** 4) for t, c, _ in
+               [r.back_project(img, e, a) for img, (e, a) in zip(colors, views)]]))
+    trust = trust[..., 0]
+    assert trust.mean() > 0.2
+    np.testing.assert_allclose(tex[trust][:, 0], 1.0, atol=0.05)
+    np.testing.assert_allclose(tex[trust][:, 1], 0.0, atol=0.05)
+    # inpaint the rest
+    full = r.uv_inpaint(tex, (trust * 255).astype(np.uint8))
+    assert full.dtype == np.uint8
+    assert (full[..., 0] > 200).mean() > 0.9
