@@ -1,0 +1,349 @@
+"""HunyuanPaint 2.5D UNet (multiview diffusion denoiser), TPU-native NHWC.
+
+Behavioral parity: reference hy3dgen/texgen/hunyuanpaint/unet/modules.py —
+UNet2p5DConditionModel :404 wrapping a diffusers SD2.1-class
+UNet2DConditionModel with:
+  * 12-channel conv_in (gen latent + normal + position latents, :437-445),
+  * learned text embeddings (learned_text_clip_gen/ref [1,77,1024], :448),
+  * camera-index class embedding added to the time embedding (:450-456),
+  * every BasicTransformerBlock replaced by Basic2p5DTransformerBlock (:46)
+    adding reference attention (kv from the ref branch's norm1 states cached
+    per layer, :183-204) and multiview attention (self-attn over all views'
+    tokens concatenated, :207-237),
+  * dual-stream: a separate UNet copy runs the reference image at t=0 in
+    'w' (write) mode to fill the cache (:546-560).
+
+TPU-first: NHWC convs, fp32 GroupNorm/softmax, bf16 matmuls; views are folded
+into the batch axis (dp-shardable); the layer cache is an explicit pytree
+(pure function in 'w' mode returns it; 'r' mode consumes it) so the full
+denoise step jits cleanly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from hunyuan3d2_tpu.ops.attention import attention as attn_op
+from hunyuan3d2_tpu.ops.attention import merge_heads, split_heads
+from hunyuan3d2_tpu.ops.conv import Conv2d, ResnetBlock, group_norm, init_group_norm, upsample_nearest2x
+from hunyuan3d2_tpu.ops.nn import Linear, layer_norm, silu
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class PaintUNetConfig:
+    in_channels: int = 12
+    out_channels: int = 4
+    block_out_channels: tuple = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    cross_attention_dim: int = 1024
+    attention_head_dim: int = 64
+    norm_num_groups: int = 32
+    num_class_embeds: int = 5 + 12 * 3 + 4 * 2   # max_num_ref + max_num_gen
+    use_multiview_attention: bool = True
+    use_reference_attention: bool = True
+    use_camera_embedding: bool = True
+    use_dual_stream: bool = True
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+    def is_cross(self, i: int, down: bool) -> bool:
+        """down blocks: CrossAttn,CrossAttn,CrossAttn,Down; up mirrors."""
+        n = len(self.block_out_channels)
+        return (i < n - 1) if down else (i > 0)
+
+
+DEFAULT = PaintUNetConfig()
+TINY = PaintUNetConfig(block_out_channels=(32, 64), layers_per_block=1,
+                       cross_attention_dim=32, attention_head_dim=8,
+                       norm_num_groups=8)
+
+
+def sd_timestep_embedding(t: Array, dim: int, max_period: float = 10000.0) -> Array:
+    """diffusers Timesteps with flip_sin_to_cos=True, shift=0: [cos|sin]."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+def _init_attn(key, dim: int, kv_dim: Optional[int] = None):
+    kv_dim = kv_dim or dim
+    ks = jax.random.split(key, 4)
+    return {
+        "to_q": Linear.init(ks[0], dim, dim, bias=False),
+        "to_k": Linear.init(ks[1], kv_dim, dim, bias=False),
+        "to_v": Linear.init(ks[2], kv_dim, dim, bias=False),
+        "to_out": Linear.init(ks[3], dim, dim),
+    }
+
+
+def _init_tblock(key, cfg: PaintUNetConfig, dim: int):
+    ks = jax.random.split(key, 8)
+    p = {
+        "norm1": {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)},
+        "attn1": _init_attn(ks[0], dim),
+        "norm2": {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)},
+        "attn2": _init_attn(ks[1], dim, cfg.cross_attention_dim),
+        "norm3": {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)},
+        "ff_in": Linear.init(ks[2], dim, 8 * dim),     # GEGLU: 2×4×dim
+        "ff_out": Linear.init(ks[3], 4 * dim, dim),
+    }
+    if cfg.use_reference_attention:
+        p["attn_refview"] = _init_attn(ks[4], dim)
+    if cfg.use_multiview_attention:
+        p["attn_multiview"] = _init_attn(ks[5], dim)
+    return p
+
+
+def _init_transformer2d(key, cfg: PaintUNetConfig, ch: int):
+    ks = jax.random.split(key, 3)
+    return {
+        "norm": init_group_norm(ch),
+        "proj_in": Linear.init(ks[0], ch, ch),
+        "block": _init_tblock(ks[1], cfg, ch),
+        "proj_out": Linear.init(ks[2], ch, ch),
+    }
+
+
+def init(key, cfg: PaintUNetConfig = DEFAULT, dual: bool = None):
+    """Init UNet params. With dual (default cfg.use_dual_stream), includes a
+    separate `dual` copy used for the reference 'w' pass."""
+    chs = cfg.block_out_channels
+    n = len(chs)
+    ks = iter(jax.random.split(key, 512))
+
+    def nk():
+        return next(ks)
+
+    p = {
+        "conv_in": Conv2d.init(nk(), cfg.in_channels, chs[0], 3),
+        "time_mlp_in": Linear.init(nk(), chs[0], cfg.time_embed_dim),
+        "time_mlp_out": Linear.init(nk(), cfg.time_embed_dim, cfg.time_embed_dim),
+        "learned_text_clip_gen": jax.random.normal(nk(), (1, 77, cfg.cross_attention_dim), jnp.float32),
+        "learned_text_clip_ref": jax.random.normal(nk(), (1, 77, cfg.cross_attention_dim), jnp.float32),
+        "down": [],
+        "up": [],
+    }
+    if cfg.use_camera_embedding:
+        p["class_embedding"] = jax.random.normal(
+            nk(), (cfg.num_class_embeds, cfg.time_embed_dim), jnp.float32) * 0.02
+
+    c_in = chs[0]
+    for i, c_out in enumerate(chs):
+        blk = {"resnets": [], "attns": []}
+        for j in range(cfg.layers_per_block):
+            blk["resnets"].append(ResnetBlock.init(nk(), c_in if j == 0 else c_out,
+                                                   c_out, cfg.time_embed_dim))
+            if cfg.is_cross(i, down=True):
+                blk["attns"].append(_init_transformer2d(nk(), cfg, c_out))
+        if i < n - 1:
+            blk["downsample"] = Conv2d.init(nk(), c_out, c_out, 3)
+        p["down"].append(blk)
+        c_in = c_out
+
+    p["mid"] = {
+        "res1": ResnetBlock.init(nk(), chs[-1], chs[-1], cfg.time_embed_dim),
+        "attn": _init_transformer2d(nk(), cfg, chs[-1]),
+        "res2": ResnetBlock.init(nk(), chs[-1], chs[-1], cfg.time_embed_dim),
+    }
+
+    rev = list(reversed(chs))
+    for i, c_out in enumerate(rev):
+        prev = rev[max(i - 1, 0)]            # channels coming from below
+        skip_src = rev[min(i + 1, n - 1)]    # channels of skip at deepest resnet
+        blk = {"resnets": [], "attns": []}
+        for j in range(cfg.layers_per_block + 1):
+            res_skip = prev if j == 0 else c_out
+            skip_ch = c_out if j < cfg.layers_per_block else skip_src
+            blk["resnets"].append(ResnetBlock.init(nk(), res_skip + skip_ch,
+                                                   c_out, cfg.time_embed_dim))
+            if cfg.is_cross(i, down=False):
+                blk["attns"].append(_init_transformer2d(nk(), cfg, c_out))
+        if i < n - 1:
+            blk["upsample"] = Conv2d.init(nk(), c_out, c_out, 3)
+        p["up"].append(blk)
+
+    p["norm_out"] = init_group_norm(chs[0])
+    p["conv_out"] = Conv2d.init(nk(), chs[0], cfg.out_channels, 3)
+
+    if dual if dual is not None else cfg.use_dual_stream:
+        # the reference deep-copies the UNet BEFORE the 12-channel conv_in
+        # swap (modules.py:415-419,437): the dual/ref branch keeps the
+        # original 4-channel conv_in and has no extra 2.5D attentions.
+        p["dual"] = init(nk(), dual_config(cfg), dual=False)
+    return p
+
+
+def dual_config(cfg: PaintUNetConfig) -> PaintUNetConfig:
+    return dataclasses.replace(cfg, in_channels=4,
+                               use_multiview_attention=False,
+                               use_reference_attention=False,
+                               use_dual_stream=False)
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+def _attention(p, x: Array, kv: Array, heads: int) -> Array:
+    q = split_heads(Linear.apply(p["to_q"], x), heads)
+    k = split_heads(Linear.apply(p["to_k"], kv), heads)
+    v = split_heads(Linear.apply(p["to_v"], kv), heads)
+    return Linear.apply(p["to_out"], merge_heads(attn_op(q, k, v)))
+
+
+def _tblock(p, cfg: PaintUNetConfig, x: Array, context: Array, layer: str,
+            mode: str, num_views: int, cache: Dict[str, Array],
+            ref_scale: float, mva_scale: float) -> Array:
+    heads = x.shape[-1] // cfg.attention_head_dim
+    h = layer_norm(x, p["norm1"]["scale"], p["norm1"]["bias"], eps=1e-5)
+
+    x = x + _attention(p["attn1"], h, h, heads)
+
+    if mode == "w":
+        bn, l, c = h.shape
+        cache[layer] = h.reshape(bn // num_views, num_views * l, c)
+    if mode == "r" and cfg.use_reference_attention:
+        ref = cache[layer]                                    # [B, Nr·L, C]
+        bn, l, c = h.shape
+        b = ref.shape[0]
+        ref_rep = jnp.repeat(ref, bn // b, axis=0)            # [(B·N), Nr·L, C]
+        x = x + ref_scale * _attention(p["attn_refview"], h, ref_rep, heads)
+
+    if num_views > 1 and cfg.use_multiview_attention and mode == "r":
+        bn, l, c = h.shape
+        mv = h.reshape(bn // num_views, num_views * l, c)
+        out = _attention(p["attn_multiview"], mv, mv, heads)
+        x = x + mva_scale * out.reshape(bn, l, c)
+
+    h = layer_norm(x, p["norm2"]["scale"], p["norm2"]["bias"], eps=1e-5)
+    x = x + _attention(p["attn2"], h, context, heads)
+
+    h = layer_norm(x, p["norm3"]["scale"], p["norm3"]["bias"], eps=1e-5)
+    ff = Linear.apply(p["ff_in"], h)
+    a, b_ = jnp.split(ff, 2, axis=-1)
+    x = x + Linear.apply(p["ff_out"], a * jax.nn.gelu(b_, approximate=False))
+    return x
+
+
+def _transformer2d(p, cfg: PaintUNetConfig, x: Array, context: Array, layer: str,
+                   mode: str, num_views: int, cache, ref_scale, mva_scale) -> Array:
+    b, hh, ww, c = x.shape
+    res = x
+    y = group_norm(x, p["norm"]["scale"], p["norm"]["bias"], cfg.norm_num_groups)
+    y = y.reshape(b, hh * ww, c)
+    y = Linear.apply(p["proj_in"], y)
+    y = _tblock(p["block"], cfg, y, context, layer, mode, num_views, cache,
+                ref_scale, mva_scale)
+    y = Linear.apply(p["proj_out"], y)
+    return res + y.reshape(b, hh, ww, c)
+
+
+def unet_apply(params, cfg: PaintUNetConfig, sample: Array, t: Array,
+               context: Array, class_labels: Optional[Array], mode: str,
+               num_views: int, cache: Dict[str, Array],
+               ref_scale: float = 1.0, mva_scale: float = 1.0) -> Array:
+    """Core UNet2DConditionModel forward (+2.5D attentions).
+
+    sample: [(B·N), H, W, C_in] NHWC; t: [(B·N)]; context: [(B·N), 77, D].
+    ``cache`` is mutated in 'w' mode (python dict; keys static per config).
+    """
+    g = cfg.norm_num_groups
+    temb = sd_timestep_embedding(t, cfg.block_out_channels[0])
+    temb = Linear.apply(params["time_mlp_out"],
+                        silu(Linear.apply(params["time_mlp_in"],
+                                          temb.astype(sample.dtype))))
+    if cfg.use_camera_embedding and class_labels is not None:
+        temb = temb + params["class_embedding"][class_labels].astype(temb.dtype)
+
+    x = Conv2d.apply(params["conv_in"], sample)
+    residuals = [x]
+    for i, blk in enumerate(params["down"]):
+        for j, r in enumerate(blk["resnets"]):
+            x = ResnetBlock.apply(r, x, temb, g)
+            if blk["attns"]:
+                x = _transformer2d(blk["attns"][j], cfg, x, context,
+                                   f"down_{i}_{j}", mode, num_views, cache,
+                                   ref_scale, mva_scale)
+            residuals.append(x)
+        if "downsample" in blk:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            x = Conv2d.apply(blk["downsample"], x, stride=2, padding="VALID")
+            residuals.append(x)
+
+    x = ResnetBlock.apply(params["mid"]["res1"], x, temb, g)
+    x = _transformer2d(params["mid"]["attn"], cfg, x, context, "mid_0",
+                       mode, num_views, cache, ref_scale, mva_scale)
+    x = ResnetBlock.apply(params["mid"]["res2"], x, temb, g)
+
+    for i, blk in enumerate(params["up"]):
+        for j, r in enumerate(blk["resnets"]):
+            skip = residuals.pop()
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = ResnetBlock.apply(r, x, temb, g)
+            if blk["attns"]:
+                x = _transformer2d(blk["attns"][j], cfg, x, context,
+                                   f"up_{i}_{j}", mode, num_views, cache,
+                                   ref_scale, mva_scale)
+        if "upsample" in blk:
+            x = upsample_nearest2x(x)
+            x = Conv2d.apply(blk["upsample"], x)
+
+    x = group_norm(x, params["norm_out"]["scale"], params["norm_out"]["bias"], g)
+    x = Conv2d.apply(params["conv_out"], silu(x))
+    return x
+
+
+def apply(params, cfg: PaintUNetConfig, sample: Array, timestep: Array,
+          normal_latents: Array, position_latents: Array, ref_latents: Array,
+          camera_info_gen: Array, camera_info_ref: Array,
+          cache: Optional[Dict[str, Array]] = None,
+          ref_scale: float = 1.0, mva_scale: float = 1.0):
+    """Full 2.5D forward (parity: modules.py:498-599).
+
+    sample:          [B, N_gen, H, W, 4] noisy gen-view latents (NHWC inner)
+    normal/position: [B, N_gen, H, W, 4] control latents
+    ref_latents:     [B, N_ref, h, w, 4]
+    camera_info_*:   [B, N] int camera indices (gen offset by max_num_ref=5)
+    Returns (noise_pred [B, N_gen, H, W, 4], cache).
+    """
+    b, n_gen = sample.shape[:2]
+    n_ref = ref_latents.shape[1]
+
+    x = jnp.concatenate([sample, normal_latents, position_latents], axis=-1)
+    x = x.reshape((b * n_gen,) + x.shape[2:])
+
+    ctx_gen = jnp.repeat(params["learned_text_clip_gen"].astype(x.dtype), b * n_gen, axis=0)
+
+    if cache is None and cfg.use_reference_attention:
+        cache = {}
+        ref = ref_latents.reshape((b * n_ref,) + ref_latents.shape[2:])
+        ctx_ref = jnp.repeat(params["learned_text_clip_ref"].astype(x.dtype), b * n_ref, axis=0)
+        if cfg.use_dual_stream:
+            dual_params, dual_cfg, ref_in = params["dual"], dual_config(cfg), ref
+        else:
+            # single-stream fallback: pad control channels with zeros
+            dual_params, dual_cfg = params, cfg
+            ref_in = jnp.concatenate([ref, jnp.zeros_like(ref), jnp.zeros_like(ref)], axis=-1)
+        unet_apply(dual_params, dual_cfg, ref_in, jnp.zeros((b * n_ref,), jnp.float32),
+                   ctx_ref, camera_info_ref.reshape(-1) if cfg.use_camera_embedding else None,
+                   "w", n_ref, cache)
+
+    t = jnp.broadcast_to(jnp.atleast_1d(timestep), (b * n_gen,))
+    labels = None
+    if cfg.use_camera_embedding:
+        labels = (camera_info_gen + 5).reshape(-1)
+    out = unet_apply(params, cfg, x, t, ctx_gen, labels, "r", n_gen, cache,
+                     ref_scale, mva_scale)
+    return out.reshape(b, n_gen, *out.shape[1:]), cache
