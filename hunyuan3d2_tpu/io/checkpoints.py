@@ -286,6 +286,24 @@ def map_dinov2(sd: Dict[str, np.ndarray], cfg, dtype=np.float32,
     }
 
 
+def load_paint_pipeline(model_path: str, view_size: int = 512):
+    """Load a HunyuanPaint checkpoint directory (diffusers layout: unet/
+    config.json + diffusion_pytorch_model.bin, vae/...). Weight mapping for
+    the diffusers UNet/VAE state dicts lands with map_paint_unet/map_sd_vae;
+    until the checkpoints are present locally this raises."""
+    import os
+
+    from hunyuan3d2_tpu.pipelines.hunyuanpaint import HunyuanPaintPipeline
+
+    unet_dir = os.path.join(model_path, "unet")
+    if not os.path.isdir(unet_dir):
+        raise FileNotFoundError(
+            f"paint checkpoint not found at {model_path}; use "
+            "HunyuanPaintPipeline.init_random for weight-free runs")
+    raise NotImplementedError(
+        "diffusers-format paint checkpoint ingestion: map_paint_unet pending")
+
+
 # ---------------------------------------------------------------------------
 # full pipeline assembly from a reference checkpoint layout
 # ---------------------------------------------------------------------------

@@ -344,6 +344,10 @@ def apply(params, cfg: PaintUNetConfig, sample: Array, timestep: Array,
     labels = None
     if cfg.use_camera_embedding:
         labels = (camera_info_gen + 5).reshape(-1)
+    # ref_scale may be per-batch (CFG: [0, 1] — reference pipeline.py:343)
+    rs = jnp.asarray(ref_scale, jnp.float32)
+    if rs.ndim == 1:
+        rs = jnp.repeat(rs, n_gen).reshape(-1, 1, 1)
     out = unet_apply(params, cfg, x, t, ctx_gen, labels, "r", n_gen, cache,
-                     ref_scale, mva_scale)
+                     rs, mva_scale)
     return out.reshape(b, n_gen, *out.shape[1:]), cache

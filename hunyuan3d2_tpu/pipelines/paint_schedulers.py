@@ -1,0 +1,130 @@
+"""Schedulers for the paint (texture) diffusion model, as pure sigma tables.
+
+Behavioral parity:
+  * EulerAncestralDiscreteScheduler with zero-terminal-SNR rescaled betas,
+    v-prediction, 'trailing' timestep spacing — the standard HunyuanPaint
+    sampler (reference texgen/utils/multiview_utils.py:40-42; exact math
+    documented at project/image3d/texture.py:18-136).
+  * LCMScheduler — turbo path (multiview_utils.py:43-46; DDIM-solver index
+    trick at hunyuanpaint/pipeline.py:598-603).
+
+TPU-first: every quantity is a precomputed fp32 table; ``step`` is pure and
+the pipeline scans over it (ancestral noise from explicit PRNG keys).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+def rescale_zero_terminal_snr(betas: np.ndarray) -> np.ndarray:
+    """Shift the alpha-bar-sqrt schedule so SNR(T)=0 (Lin et al. 2023)."""
+    alphas = 1.0 - betas
+    abar_sqrt = np.sqrt(np.cumprod(alphas))
+    a0, aT = abar_sqrt[0], abar_sqrt[-1]
+    abar_sqrt = (abar_sqrt - aT) * (a0 / (a0 - aT))
+    abar = abar_sqrt ** 2
+    alphas = np.concatenate([abar[:1], abar[1:] / abar[:-1]])
+    return 1.0 - alphas
+
+
+@dataclasses.dataclass(frozen=True)
+class EulerAncestralDiscreteScheduler:
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    prediction_type: str = "v_prediction"
+    timestep_spacing: str = "trailing"
+    rescale_betas_zero_snr: bool = True
+
+    def _alphas_cumprod(self) -> np.ndarray:
+        betas = np.linspace(self.beta_start ** 0.5, self.beta_end ** 0.5,
+                            self.num_train_timesteps) ** 2
+        if self.rescale_betas_zero_snr:
+            betas = rescale_zero_terminal_snr(betas)
+        ac = np.cumprod(1.0 - betas)
+        if self.rescale_betas_zero_snr:
+            ac[-1] = 2 ** -24  # avoid inf sigma
+        return ac
+
+    def make_tables(self, num_inference_steps: int):
+        """→ (timesteps [N] fp32 descending, sigmas [N+1] fp32 with final 0)."""
+        t = self.num_train_timesteps
+        if self.timestep_spacing == "trailing":
+            step = t / num_inference_steps
+            timesteps = np.round(np.arange(t, 0, -step)).astype(np.float64) - 1
+        else:  # linspace
+            timesteps = np.linspace(0, t - 1, num_inference_steps)[::-1]
+        ac = self._alphas_cumprod()
+        all_sigmas = np.sqrt((1 - ac) / ac)
+        sigmas = np.interp(timesteps, np.arange(t), all_sigmas)
+        sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
+        return timesteps.astype(np.float32), sigmas
+
+    @staticmethod
+    def scale_model_input(sample, sigma):
+        return sample / (sigma ** 2 + 1) ** 0.5
+
+    def step(self, model_output, sample, sigma, sigma_next, noise):
+        """One ancestral Euler step (all fp32 arrays / scalars).
+
+        v-prediction: x₀ = −σ/√(σ²+1)·v + x/(σ²+1); epsilon: x₀ = x − σ·ε.
+        """
+        if self.prediction_type == "v_prediction":
+            pred_x0 = model_output * (-sigma / (sigma ** 2 + 1) ** 0.5) \
+                + sample / (sigma ** 2 + 1)
+        elif self.prediction_type == "epsilon":
+            pred_x0 = sample - sigma * model_output
+        else:
+            raise ValueError(self.prediction_type)
+        sigma_up2 = sigma_next ** 2 * (sigma ** 2 - sigma_next ** 2) / (sigma ** 2)
+        sigma_up = sigma_up2 ** 0.5
+        sigma_down = (sigma_next ** 2 - sigma_up2) ** 0.5
+        derivative = (sample - pred_x0) / sigma
+        prev = sample + derivative * (sigma_down - sigma)
+        return prev + noise * sigma_up, pred_x0
+
+
+@dataclasses.dataclass(frozen=True)
+class LCMScheduler:
+    """Latent-consistency sampler for the paint-turbo checkpoints: x₀ jump +
+    re-noising to the next discrete timestep (trailing spacing)."""
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    prediction_type: str = "v_prediction"
+    original_inference_steps: int = 50
+
+    def _alphas_cumprod(self) -> np.ndarray:
+        betas = np.linspace(self.beta_start ** 0.5, self.beta_end ** 0.5,
+                            self.num_train_timesteps) ** 2
+        return np.cumprod(1.0 - betas)
+
+    def make_tables(self, num_inference_steps: int, timesteps=None):
+        t = self.num_train_timesteps
+        if timesteps is None:
+            k = t // self.original_inference_steps
+            lcm_timesteps = np.asarray(range(1, self.original_inference_steps + 1)) * k - 1
+            skip = len(lcm_timesteps) // num_inference_steps
+            timesteps = lcm_timesteps[::-1][::skip][:num_inference_steps]
+        timesteps = np.asarray(timesteps, np.int64)
+        ac = self._alphas_cumprod()
+        return timesteps.astype(np.float32), ac.astype(np.float32)
+
+    def step(self, model_output, sample, t_int, t_next_int, alphas_cumprod, noise):
+        ac_t = alphas_cumprod[t_int]
+        sq_a, sq_1ma = ac_t ** 0.5, (1 - ac_t) ** 0.5
+        if self.prediction_type == "v_prediction":
+            pred_x0 = sq_a * sample - sq_1ma * model_output
+        else:
+            pred_x0 = (sample - sq_1ma * model_output) / sq_a
+        # re-noise to next timestep (t_next 0 → return x0); jnp.where keeps
+        # the step jittable with traced timesteps
+        import jax.numpy as jnp
+
+        ac_n = alphas_cumprod[t_next_int]
+        renoised = ac_n ** 0.5 * pred_x0 + (1 - ac_n) ** 0.5 * noise
+        return jnp.where(t_next_int > 0, renoised, pred_x0), pred_x0

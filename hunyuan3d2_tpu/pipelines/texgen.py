@@ -1,0 +1,184 @@
+"""Texture-generation pipeline: mesh + image → textured mesh.
+
+Behavioral parity: reference hy3dgen/texgen/pipelines.py —
+Hunyuan3DTexGenConfig :35 (6 candidate cameras azims [0,90,180,270,0,180] /
+elevs [0,0,0,0,90,-90], weights [1,.1,.5,.1,.05,.05], render 2048, texture
+2048, bake_exp 4, merge 'fast') and Hunyuan3DPaintPipeline :59
+(recenter :168-200 → mesh_uv_wrap :220 → render normal+position ×6 :227-230
+→ camera_info index formula :232-234 → multiview diffusion :235 →
+bake_from_multiview :141-159 → texture_inpaint :161-166 → save :250-252).
+The delight and super-resolution stages are disabled in the reference fork
+(:114-117, :238) and optional here (utils/dehighlight, utils/imagesuper).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from hunyuan3d2_tpu.geometry.render import MeshRender
+from hunyuan3d2_tpu.geometry.uv import mesh_uv_wrap
+from hunyuan3d2_tpu.utils.logger import get_logger
+from hunyuan3d2_tpu.utils.timer import timed_scope
+
+logger = get_logger("hunyuan3d2_tpu.texgen")
+
+
+class Hunyuan3DTexGenConfig:
+    """Parity: texgen/pipelines.py:35-56."""
+
+    def __init__(self, light_remover_ckpt_path=None, multiview_ckpt_path=None,
+                 subfolder_name: str = "hunyuan3d-paint-v2-0-turbo"):
+        self.light_remover_ckpt_path = light_remover_ckpt_path
+        self.multiview_ckpt_path = multiview_ckpt_path
+        self.candidate_camera_azims = [0, 90, 180, 270, 0, 180]
+        self.candidate_camera_elevs = [0, 0, 0, 0, 90, -90]
+        self.candidate_view_weights = [1, 0.1, 0.5, 0.1, 0.05, 0.05]
+        self.render_size = 2048
+        self.texture_size = 2048
+        self.bake_exp = 4
+        self.merge_method = "fast"
+        self.pipe_dict = {"hunyuan3d-paint-v2-0": "hunyuanpaint",
+                          "hunyuan3d-paint-v2-0-turbo": "hunyuanpaint-turbo"}
+        self.pipe_name = self.pipe_dict.get(subfolder_name, "hunyuanpaint")
+
+
+def camera_info_index(azim: int, elev: int) -> int:
+    """Camera-index formula (parity: texgen/pipelines.py:232-234)."""
+    div = {-20: 1, 0: 1, 20: 1, -90: 3, 90: 3}[elev]
+    off = {-20: 0, 0: 12, 20: 24, -90: 36, 90: 40}[elev]
+    return (((azim // 30) + 9) % 12) // div + off
+
+
+class Hunyuan3DPaintPipeline:
+    """mesh + image → textured mesh (parity: texgen/pipelines.py:59-253)."""
+
+    def __init__(self, models: dict, config: Optional[Hunyuan3DTexGenConfig] = None):
+        self.config = config or Hunyuan3DTexGenConfig()
+        self.models = models  # {'multiview_model': callable, ...}
+        self.render = MeshRender(
+            default_resolution=self.config.render_size,
+            texture_size=self.config.texture_size)
+
+    # -- constructors -------------------------------------------------------------
+    @classmethod
+    def from_pretrained(cls, model_path: str,
+                        subfolder: str = "hunyuan3d-paint-v2-0-turbo", **kwargs):
+        from hunyuan3d2_tpu.pipelines.multiview import Multiview_Diffusion_Net
+
+        config = Hunyuan3DTexGenConfig(multiview_ckpt_path=model_path,
+                                       subfolder_name=subfolder)
+        return cls({"multiview_model": Multiview_Diffusion_Net(config)}, config)
+
+    @classmethod
+    def init_random(cls, key=None, size: str = "tiny", view_size: int = 64,
+                    render_size: int = 256, texture_size: int = 256,
+                    num_inference_steps: int = 30):
+        """Random-weight paint stack for tests/benchmarks."""
+        from hunyuan3d2_tpu.pipelines.hunyuanpaint import HunyuanPaintPipeline
+        from hunyuan3d2_tpu.pipelines.multiview import Multiview_Diffusion_Net
+
+        config = Hunyuan3DTexGenConfig()
+        config.render_size = render_size
+        config.texture_size = texture_size
+        inner = HunyuanPaintPipeline.init_random(key, size=size, view_size=view_size)
+        mv = Multiview_Diffusion_Net.__new__(Multiview_Diffusion_Net)
+        mv.pipeline = inner
+        mv.view_size = view_size
+        mv.num_inference_steps = num_inference_steps
+        return cls({"multiview_model": mv}, config)
+
+    # -- stages ---------------------------------------------------------------------
+    def recenter_image(self, image, border_ratio: float = 0.2):
+        """Parity: texgen/pipelines.py:168-200 (alpha-bbox recenter)."""
+        from PIL import Image
+
+        from hunyuan3d2_tpu.utils.imageproc import recenter_rgba, _to_rgba_array
+
+        rgba = _to_rgba_array(image)
+        if rgba[..., 3].min() == 255:  # no alpha info: keep as-is
+            return Image.fromarray(rgba[..., :3])
+        out = recenter_rgba(rgba, max(rgba.shape[:2]), border_ratio / 2)
+        return Image.fromarray(out)
+
+    def render_normal_multiview(self, camera_elevs, camera_azims, use_abs_coor=True):
+        from PIL import Image
+
+        out = []
+        for elev, azim in zip(camera_elevs, camera_azims):
+            nm = self.render.render_normal(elev, azim, use_abs_coor=use_abs_coor,
+                                           return_type="np")
+            out.append(Image.fromarray(
+                (np.clip(nm[..., :3], 0, 1) * 255).astype(np.uint8)))
+        return out
+
+    def render_position_multiview(self, camera_elevs, camera_azims):
+        from PIL import Image
+
+        out = []
+        for elev, azim in zip(camera_elevs, camera_azims):
+            pm = self.render.render_position(elev, azim, return_type="np")
+            out.append(Image.fromarray(
+                (np.clip(pm[..., :3], 0, 1) * 255).astype(np.uint8)))
+        return out
+
+    def bake_from_multiview(self, views, camera_elevs, camera_azims, view_weights,
+                            method: str = "fast"):
+        """Parity: texgen/pipelines.py:141-159."""
+        textures, cos_maps = [], []
+        for view, elev, azim, weight in zip(views, camera_elevs, camera_azims,
+                                            view_weights):
+            texture, cos_map, _ = self.render.back_project(view, elev, azim)
+            cos_maps.append(weight * (cos_map ** self.config.bake_exp))
+            textures.append(texture)
+        if method == "fast":
+            return self.render.fast_bake_texture(textures, cos_maps)
+        raise ValueError(f"no method {method}")
+
+    def texture_inpaint(self, texture: np.ndarray, mask: np.ndarray):
+        """Parity: texgen/pipelines.py:161-166."""
+        return self.render.uv_inpaint(texture, mask)
+
+    # -- main ------------------------------------------------------------------------
+    def __call__(self, mesh, image):
+        if not isinstance(image, list):
+            image = [image]
+        from PIL import Image
+
+        images_prompt = [Image.open(im) if isinstance(im, str) else im
+                         for im in image]
+        images_prompt = [self.recenter_image(im) for im in images_prompt]
+
+        with timed_scope("UV Unwrap"):
+            mesh = mesh_uv_wrap(mesh)
+        self.render.load_mesh(mesh)
+
+        elevs = self.config.candidate_camera_elevs
+        azims = self.config.candidate_camera_azims
+        weights = self.config.candidate_view_weights
+
+        with timed_scope("Render Cond Maps"):
+            normal_maps = self.render_normal_multiview(elevs, azims, use_abs_coor=True)
+            position_maps = self.render_position_multiview(elevs, azims)
+
+        camera_info = [camera_info_index(azim, elev)
+                       for azim, elev in zip(azims, elevs)]
+
+        with timed_scope("Multiview Diffusion"):
+            multiviews = self.models["multiview_model"](
+                images_prompt, normal_maps + position_maps, camera_info)
+
+        multiviews = [mv.resize((self.config.render_size, self.config.render_size))
+                      for mv in multiviews]
+
+        with timed_scope("Texture Baking"):
+            texture, mask = self.bake_from_multiview(
+                multiviews, elevs, azims, weights, method=self.config.merge_method)
+        mask_np = (mask[..., 0] * 255).astype(np.uint8)
+
+        with timed_scope("Texture Inpaint"):
+            texture = self.texture_inpaint(texture, mask_np)
+
+        self.render.set_texture(texture)
+        return self.render.save_mesh()
