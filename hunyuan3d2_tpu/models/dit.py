@@ -231,3 +231,24 @@ def apply(params, cfg: DiTConfig, x: Array, t: Array, cond: Array,
     shift, scale = jnp.split(Linear.apply(fl["adaLN"], silu(vec)), 2, axis=-1)
     latent = (1.0 + scale[:, None]) * layer_norm(latent) + shift[:, None]
     return Linear.apply(fl["linear"], latent)
+
+
+class Hunyuan3DDiT:
+    """Object façade for the config registry (parity: the reference class
+    name instantiated from config.yaml, hy3dgen/shapegen/models/denoisers/
+    hunyuan3ddit.py:284). Holds (cfg, params) and dispatches to the pure
+    functions; params are attached by the checkpoint loader."""
+
+    def __init__(self, params=None, **cfg_kwargs):
+        fields = {k: v for k, v in cfg_kwargs.items()
+                  if k in DiTConfig.__dataclass_fields__}
+        self.cfg = DiTConfig(**fields)
+        self.params = params
+        self.guidance_embed = self.cfg.guidance_embed
+
+    def init_random(self, key):
+        self.params = init(key, self.cfg)
+        return self
+
+    def __call__(self, x, t, cond, guidance=None):
+        return apply(self.params, self.cfg, x, t, cond, guidance)

@@ -188,12 +188,55 @@ def decode_queries(params, cfg: ShapeVAEConfig, queries: Array, kv) -> Array:
     return occ[..., 0]
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _decode_latents_jit(params, cfg, latents):
+    return decode_latents(params, cfg, latents)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _compute_kv_jit(params, cfg, hidden):
+    return compute_kv(params, cfg, hidden)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "decoder_kind", "octree_resolution", "num_chunks",
+                     "box_v", "mc_level", "block", "capacity_frac",
+                     "coarse_factor"),
+)
+def _grid_decode_jit(params, cfg, kv, decoder_kind: str, octree_resolution: int,
+                     num_chunks: int, box_v: float, mc_level: float,
+                     block: int, capacity_frac: float, coarse_factor: int):
+    """The ENTIRE latent→grid decode as one compiled program — no per-chunk
+    host dispatches (critical under remote-tunnel dispatch latency)."""
+    from hunyuan3d2_tpu.volume import decoders
+
+    decode_fn = lambda pts: decode_queries(params, cfg, pts, kv)
+    if decoder_kind == "vanilla":
+        dec = decoders.VanillaVolumeDecoder()
+    elif decoder_kind == "hierarchical":
+        dec = decoders.HierarchicalVolumeDecoding(
+            block=block, capacity_frac=capacity_frac, coarse_factor=coarse_factor)
+    else:
+        dec = decoders.FlashVDMVolumeDecoding(
+            block=block, capacity_frac=capacity_frac, coarse_factor=coarse_factor)
+    return dec(decode_fn, batch_size=1, octree_resolution=octree_resolution,
+               num_chunks=num_chunks, box_v=box_v, mc_level=mc_level)
+
+
 class ShapeVAE:
     """Object façade matching the reference public surface
     (``ShapeVAE.forward`` / ``latents2mesh`` / ``enable_flashvdm_decoder``,
     model.py:105-189). Holds (params, cfg) and dispatches to the pure fns."""
 
-    def __init__(self, params, cfg: ShapeVAEConfig):
+    def __init__(self, params=None, cfg: ShapeVAEConfig = None, **cfg_kwargs):
+        if cfg is None:
+            fields = {k: v for k, v in cfg_kwargs.items()
+                      if k in ShapeVAEConfig.__dataclass_fields__}
+            cfg = ShapeVAEConfig(**fields)
         self.params = params
         self.cfg = cfg
         self.volume_decoder = None  # set lazily (VanillaVolumeDecoder default)
@@ -225,11 +268,29 @@ class ShapeVAE:
             self.volume_decoder = decoders.VanillaVolumeDecoder()
         if self.surface_extractor is None:
             self.surface_extractor = surface.SurfaceExtractors[mc_algo]()
-        hidden = decode_latents(self.params, self.cfg, latents)
-        kv = compute_kv(self.params, self.cfg, hidden)
-        decode_fn = lambda pts: decode_queries(self.params, self.cfg, pts, kv)
-        grid_logits = self.volume_decoder(
-            decode_fn, batch_size=latents.shape[0],
-            octree_resolution=octree_resolution, num_chunks=num_chunks, box_v=box_v,
-        )
+        grid_logits = self.decode_grid(latents, octree_resolution, num_chunks,
+                                       box_v, mc_level)
         return self.surface_extractor(grid_logits, mc_level=mc_level, box_v=box_v)
+
+    def decode_grid(self, latents: Array, octree_resolution: int = 384,
+                    num_chunks: int = 65536, box_v: float = 1.01,
+                    mc_level: float = 0.0) -> Array:
+        """latents → dense logit grid, fully jitted (one compiled program per
+        (decoder, resolution) combination)."""
+        from hunyuan3d2_tpu.volume import decoders
+
+        hidden = _decode_latents_jit(self.params, self.cfg, latents)
+        kv = _compute_kv_jit(self.params, self.cfg, hidden)
+        dec = self.volume_decoder
+        if isinstance(dec, decoders.FlashVDMVolumeDecoding):
+            kind = "flashvdm"
+        elif isinstance(dec, decoders.HierarchicalVolumeDecoding):
+            kind = "hierarchical"
+        else:
+            kind = "vanilla"
+        block = getattr(dec, "block", 8)
+        cap = getattr(dec, "capacity_frac", 0.12)
+        cf = getattr(dec, "coarse_factor", 4)
+        return _grid_decode_jit(self.params, self.cfg, kv, kind,
+                                octree_resolution, num_chunks, box_v, mc_level,
+                                block, cap, cf)
