@@ -51,7 +51,9 @@ def main():
                        output_type="latents", seed=seed)
         grid = pipe.vae.decode_grid(latents, octree_resolution=octree,
                                     num_chunks=262144)
-        return grid.block_until_ready()
+        # force full materialization (block_until_ready alone can return
+        # early on the experimental axon platform)
+        return float(jnp.sum(grid))
 
     # analytic fixture for the host marching stage (realistic surface density)
     lin = np.linspace(-1.01, 1.01, octree + 1, dtype=np.float32)

@@ -49,7 +49,7 @@ class DinoImageEncoder:
 
     def encode(self, pixel_values: Array) -> Array:
         """pixel_values: [B, H, W, 3] already normalized. → [B, L, hidden]."""
-        out = dinov2.apply(self.params, self.cfg.dino, pixel_values)
+        out = dinov2.apply_jit(self.params, self.cfg.dino, pixel_values)
         if not self.cfg.use_cls_token:
             out = out[:, 1:]
         return out

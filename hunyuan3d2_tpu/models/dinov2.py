@@ -120,6 +120,14 @@ def _layer(p, x, cfg: DinoConfig):
     return x + ffn * p["ls2"].astype(x.dtype)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def apply_jit(params, cfg: "DinoConfig", pixel_values: Array) -> Array:
+    return apply(params, cfg, pixel_values)
+
+
 def apply(params, cfg: DinoConfig, pixel_values: Array) -> Array:
     """pixel_values: [B, H, W, C] normalized (ImageNet mean/std).
     Returns last_hidden_state [B, 1+num_patches, hidden]."""

@@ -164,13 +164,17 @@ class Hunyuan3DDiTPipeline:
         """image_nhwc [-1,1] → conditioner tokens; CFG doubles the batch with
         the zero-token uncond embedding, [cond | uncond] order (parity:
         pipelines.py:419-451)."""
-        pixel = dino_transform(image_nhwc,
-                               image_size=self.conditioner.main.cfg.image_size)
-        pixel = jnp.asarray(pixel, jnp.bfloat16)
         if view_idxs is not None:
-            tokens = self.conditioner.main.encode_views(pixel[None], view_idxs[0])
+            b, v = image_nhwc.shape[:2]
+            flat = image_nhwc.reshape((b * v,) + image_nhwc.shape[2:])
+            pixel = dino_transform(flat, image_size=self.conditioner.main.cfg.image_size)
+            pixel = jnp.asarray(pixel, jnp.bfloat16)
+            pixel = pixel.reshape((b, v) + pixel.shape[1:])
+            tokens = self.conditioner.main.encode_views(pixel, view_idxs[0])
         else:
-            tokens = self.conditioner.main.encode(pixel)
+            pixel = dino_transform(image_nhwc,
+                                   image_size=self.conditioner.main.cfg.image_size)
+            tokens = self.conditioner.main.encode(jnp.asarray(pixel, jnp.bfloat16))
         if do_cfg:
             num_views = len(view_idxs[0]) if view_idxs is not None else 1
             uncond = self.conditioner.main.unconditional(tokens.shape[0], num_views)

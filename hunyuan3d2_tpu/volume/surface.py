@@ -132,14 +132,15 @@ def _marching_tetrahedra(grid: np.ndarray, level: float):
 
     corner_idx = cells[:, None, :] + _CORNERS[None]            # [K, 8, 3]
     flat = (corner_idx[..., 0] * R + corner_idx[..., 1]) * R + corner_idx[..., 2]
-    vals = grid.reshape(-1)[flat].astype(np.float64)           # [K, 8]
+    vals = grid.reshape(-1)[flat]                              # [K, 8] f32
+    corner_f = corner_idx.astype(np.float32)
 
     all_tri_verts = []     # list of [T, 3, 3] float
     all_tri_keys = []      # list of [T, 3] int64 (welding keys)
     for tet in _TETS:
         tv = vals[:, tet]                                      # [K, 4]
         tg = flat[:, tet]                                      # [K, 4] lattice ids
-        tc = corner_idx[:, tet, :].astype(np.float64)          # [K, 4, 3]
+        tc = corner_f[:, tet, :]                               # [K, 4, 3]
         inside = tv > level
         case = (inside * (1 << np.arange(4))).sum(1)           # [K]
         sel = (case > 0) & (case < 15)
@@ -152,8 +153,8 @@ def _marching_tetrahedra(grid: np.ndarray, level: float):
         a, b = _TET_EDGES[:, 0], _TET_EDGES[:, 1]
         va, vb = tv[:, a], tv[:, b]                            # [S, 6]
         denom = vb - va
-        denom = np.where(np.abs(denom) < 1e-12, 1e-12, denom)
-        t = np.clip((level - va) / denom, 0.0, 1.0)            # [S, 6]
+        denom = np.where(np.abs(denom) < 1e-12, np.float32(1e-12), denom)
+        t = np.clip((level - va) / denom, 0.0, 1.0).astype(np.float32)  # [S, 6]
         pa, pb = tc[:, a, :], tc[:, b, :]                      # [S, 6, 3]
         epts = pa + t[..., None] * (pb - pa)                   # [S, 6, 3]
         # weld key: canonical (min,max) lattice-point pair of the edge
@@ -162,7 +163,7 @@ def _marching_tetrahedra(grid: np.ndarray, level: float):
         ekey = lo.astype(np.int64) * (R ** 3) + hi              # [S, 6]
 
         # outward reference direction: mean(inside pts) - mean(outside pts)
-        w_in = ins.astype(np.float64)
+        w_in = ins.astype(np.float32)
         n_in = w_in.sum(1, keepdims=True)
         cen_in = (tc * w_in[..., None]).sum(1) / n_in
         cen_out = (tc * (1 - w_in)[..., None]).sum(1) / (4 - n_in)
@@ -208,12 +209,21 @@ def _surface_nets(grid: np.ndarray, level: float):
     cells = _active_cells(grid, level)
     if len(cells) == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
-    cell_id = -np.ones((R - 1, R - 1, R - 1), dtype=np.int64)
-    cell_id[cells[:, 0], cells[:, 1], cells[:, 2]] = np.arange(len(cells))
+    nc = R - 1
+    # sorted flat ids of active cells; neighbor lookup via searchsorted (no
+    # dense nc³ id array)
+    cell_flat = (cells[:, 0] * nc + cells[:, 1]) * nc + cells[:, 2]
+
+    def lookup(flat_ids):
+        pos = np.searchsorted(cell_flat, flat_ids)
+        pos = np.minimum(pos, len(cell_flat) - 1)
+        ok = cell_flat[pos] == flat_ids
+        return np.where(ok, pos, -1).astype(np.int32)
 
     corner_idx = cells[:, None, :] + _CORNERS[None]
     flat = (corner_idx[..., 0] * R + corner_idx[..., 1]) * R + corner_idx[..., 2]
-    vals = grid.reshape(-1)[flat].astype(np.float64)           # [K, 8]
+    vals = grid.reshape(-1)[flat]                              # [K, 8] f32
+    corner_f = corner_idx.astype(np.float32)                   # [K, 8, 3]
     # 12 cube edges as corner pairs
     cube_edges = np.array([[0, 1], [1, 2], [2, 3], [3, 0],
                            [4, 5], [5, 6], [6, 7], [7, 4],
@@ -222,50 +232,51 @@ def _surface_nets(grid: np.ndarray, level: float):
     vb = vals[:, cube_edges[:, 1]]
     cross = (va > level) != (vb > level)                       # [K, 12]
     denom = vb - va
-    denom = np.where(np.abs(denom) < 1e-12, 1e-12, denom)
-    t = np.clip((level - va) / denom, 0.0, 1.0)
-    pa = corner_idx[:, cube_edges[:, 0], :].astype(np.float64)
-    pb = corner_idx[:, cube_edges[:, 1], :].astype(np.float64)
+    denom = np.where(np.abs(denom) < 1e-12, np.float32(1e-12), denom)
+    t = np.clip((level - va) / denom, 0.0, 1.0).astype(np.float32)
+    pa = corner_f[:, cube_edges[:, 0]]
+    pb = corner_f[:, cube_edges[:, 1]]
     pts = pa + t[..., None] * (pb - pa)                        # [K, 12, 3]
-    w = cross.astype(np.float64)
+    w = cross.astype(np.float32)
     vpos = (pts * w[..., None]).sum(1) / np.maximum(w.sum(1, keepdims=True), 1)
     verts = vpos.astype(np.float32)                            # [K, 3]
 
     # faces: for each grid edge along axis d with a sign change, connect the
     # 4 cells around it. Quad orientation from which endpoint is inside.
+    # Flat-index formulation (no argwhere / index-matrix temporaries).
+    strides = np.array([nc * nc, nc, 1], dtype=np.int64)
     faces = []
     for d in range(3):
-        sl_lo = [slice(0, R - 1)] * 3
-        sl_hi = [slice(0, R - 1)] * 3
+        sl_lo = [slice(0, nc)] * 3
+        sl_hi = [slice(0, nc)] * 3
         sl_hi[d] = slice(1, R)
         lo = occ[tuple(sl_lo)]
-        hi = occ[tuple(sl_hi)]
-        # edges fully interior so all 4 neighbor cells exist
-        e = np.argwhere(lo != hi)                              # [E, 3] base idx
-        if len(e) == 0:
-            continue
+        mask = lo != occ[tuple(sl_hi)]
         u, v = (d + 1) % 3, (d + 2) % 3
-        keep = (e[:, u] > 0) & (e[:, v] > 0)
-        e = e[keep]
-        if len(e) == 0:
+        # border edges (no full 4-cell ring) off
+        bsl = [slice(None)] * 3
+        bsl[u] = 0
+        mask[tuple(bsl)] = False
+        bsl = [slice(None)] * 3
+        bsl[v] = 0
+        mask[tuple(bsl)] = False
+        flat = np.flatnonzero(mask)
+        if len(flat) == 0:
             continue
-        # the four cells sharing this edge
-        offs = np.zeros((4, 3), dtype=np.int64)
-        offs[1, u] = -1
-        offs[2, u] = -1
-        offs[2, v] = -1
-        offs[3, v] = -1
-        quad = np.stack([cell_id[tuple((e + o).T)] for o in offs], axis=1)
+        su, sv = strides[u], strides[v]
+        quad = np.stack([
+            lookup(flat),
+            lookup(flat - su),
+            lookup(flat - su - sv),
+            lookup(flat - sv),
+        ], axis=1)
         valid = (quad >= 0).all(1)
         quad = quad[valid]
-        ev = e[valid]
-        # orientation: if the lower endpoint is inside, the face normal points
-        # along +d, else along -d
-        inside_lo = occ[tuple(ev.T)]
-        q = quad.copy()
+        inside_lo = lo.reshape(-1)[flat[valid]]
+        q = quad
         q[~inside_lo] = quad[~inside_lo][:, ::-1]
-        faces.append(np.stack([q[:, 0], q[:, 1], q[:, 2]], 1))
-        faces.append(np.stack([q[:, 0], q[:, 2], q[:, 3]], 1))
+        faces.append(q[:, [0, 1, 2]])
+        faces.append(q[:, [0, 2, 3]])
     if not faces:
         return verts, np.zeros((0, 3), np.int32)
     return verts, np.concatenate(faces).astype(np.int32)
