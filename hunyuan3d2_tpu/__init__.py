@@ -18,6 +18,25 @@ Public API parity with the reference (hy3dgen):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _setup_compilation_cache():
+    """Persistent XLA/Mosaic compilation cache (first Pallas compile through
+    the remote-compile tunnel costs minutes; cache it across processes)."""
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "HY3D_TPU_CACHE", _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", _os.path.abspath(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_setup_compilation_cache()
+
 from hunyuan3d2_tpu.utils.logger import get_logger  # noqa: F401
 from hunyuan3d2_tpu.utils.timer import synchronize_timer  # noqa: F401
 

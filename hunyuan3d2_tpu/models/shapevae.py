@@ -214,7 +214,22 @@ def _grid_decode_jit(params, cfg, kv, decoder_kind: str, octree_resolution: int,
     host dispatches (critical under remote-tunnel dispatch latency)."""
     from hunyuan3d2_tpu.volume import decoders
 
-    decode_fn = lambda pts: decode_queries(params, cfg, pts, kv)
+    if decoder_kind == "flashvdm" and cfg.num_latents >= 2048:
+        # top-k KV pruning pays only at long latent contexts (full 3072-token
+        # VAE); reference k rule: 1024 for 3072 tokens, 256 for 512, else L/3
+        # (attention_processors.py:39-71)
+        k_top = {3072: 1024, 512: 256}.get(cfg.num_latents, cfg.num_latents // 3)
+
+        def decode_fn(pts):
+            p = pts.shape[1]
+            gp = min(512, p)
+            pad = (-p) % gp
+            if pad:
+                pts = jnp.pad(pts, ((0, 0), (0, pad), (0, 0)))
+            out = decode_queries_topk(params, cfg, pts, kv, k_top, gp)
+            return out[:, :p]
+    else:
+        decode_fn = lambda pts: decode_queries(params, cfg, pts, kv)
     if decoder_kind == "vanilla":
         dec = decoders.VanillaVolumeDecoder()
     elif decoder_kind == "hierarchical":
@@ -225,6 +240,66 @@ def _grid_decode_jit(params, cfg, kv, decoder_kind: str, octree_resolution: int,
             block=block, capacity_frac=capacity_frac, coarse_factor=coarse_factor)
     return dec(decode_fn, batch_size=1, octree_resolution=octree_resolution,
                num_chunks=num_chunks, box_v=box_v, mc_level=mc_level)
+
+
+def decode_queries_topk(params, cfg: ShapeVAEConfig, queries: Array, kv,
+                        k_top: int, group_size: int = 512) -> Array:
+    """FlashVDM-style decode: per spatial group, prune the latent K/V to the
+    top-k keys scored by the group's mean query before cross-attention.
+
+    Parity target: FlashVDMCrossAttentionProcessor (reference
+    attention_processors.py:35-82 — subsampled queries → q̄·kᵀ scores →
+    gather top-k K/V → SDPA; grouped-chunk mode :73-79). Our groups are the
+    block-sparse decoder's spatial blocks (queries arrive block-contiguous).
+
+    NOTE (TPU economics): with ≤512 latent tokens the dense cross-attention
+    is already MXU-bound and cheap; pruning pays at 3072 tokens (full VAE)
+    where it cuts the score matmul ~3×. Keep dense for mini checkpoints.
+
+    queries: [B, P, 3] with P divisible into groups of ``group_size``.
+    """
+    g = params["geo_decoder"]
+    k, v = kv                                   # [B, H, L, D]
+    b, heads, lk, hd = k.shape
+    q_in = fourier_embed(queries, cfg.num_freqs, cfg.include_pi).astype(k.dtype)
+    x = Linear.apply(g["query_proj"], q_in)
+
+    h = layer_norm(x, g["ln_1_scale"], g["ln_1_bias"], cfg.ln_eps)
+    q = Linear.apply(g["c_q"], h)
+    bq, p, _ = q.shape
+    q = q.reshape(bq, p, cfg.heads, cfg.head_dim)
+    q = layer_norm(q, g["q_norm_scale"], g["q_norm_bias"], cfg.ln_eps)
+
+    ng = p // group_size
+    qg = q.reshape(bq, ng, group_size, heads, hd)
+    # group representative: mean query (reference 'mean'/subsample scoring)
+    qbar = qg.mean(axis=2)                                   # [B, ng, H, D]
+    scores = jnp.einsum("bghd,bhld->bghl", qbar, k,
+                        preferred_element_type=jnp.float32)  # [B, ng, H, L]
+    k_top = min(k_top, lk)
+    _, idx = jax.lax.top_k(scores, k_top)                    # [B, ng, H, k]
+
+    # gather pruned K/V per (group, head): k[b, h, idx] → [B, ng, H, k, D]
+    k_sel = jnp.take_along_axis(
+        jnp.broadcast_to(k[:, None], (b, ng, heads, lk, hd)),
+        idx[..., None], axis=3)
+    v_sel = jnp.take_along_axis(
+        jnp.broadcast_to(v[:, None], (b, ng, heads, lk, hd)),
+        idx[..., None], axis=3)
+
+    qh = qg.transpose(0, 1, 3, 2, 4)                          # [B, ng, H, G, D]
+    logits = jnp.einsum("bghqd,bghkd->bghqk", qh, k_sel,
+                        preferred_element_type=jnp.float32) * (hd ** -0.5)
+    w = jax.nn.softmax(logits, axis=-1).astype(qh.dtype)
+    o = jnp.einsum("bghqk,bghkd->bghqd", w, v_sel,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    attn = o.transpose(0, 1, 3, 2, 4).reshape(bq, p, heads * hd)
+    x = x + Linear.apply(g["c_proj"], attn)
+
+    h = layer_norm(x, g["ln_3_scale"], g["ln_3_bias"], cfg.ln_eps)
+    x = x + Linear.apply(g["mlp_proj"], gelu_exact(Linear.apply(g["mlp_fc"], h)))
+    x = layer_norm(x, g["ln_post_scale"], g["ln_post_bias"])
+    return Linear.apply(g["output_proj"], x)[..., 0]
 
 
 class ShapeVAE:

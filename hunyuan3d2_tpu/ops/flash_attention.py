@@ -1,0 +1,116 @@
+"""Pallas TPU flash attention (non-causal, full attention, no mask).
+
+The DiT attends over cond 1370 + latents 512..3072 tokens and the paint
+UNet's multiview attention over ~24k tokens (6 views × 64² latents); a
+blocked online-softmax kernel keeps the O(L²) score matrix out of HBM.
+
+Kernel shape: grid (batch·heads, q_blocks, k_blocks) with the k axis
+innermost; running max / normalizer / accumulator live in VMEM scratch that
+persists across the k sweep (standard flash pattern). fp32 softmax state,
+bf16 matmul inputs, fp32 MXU accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+DEFAULT_BQ = 256
+DEFAULT_BK = 256
+NEG_INF = -1e30
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+            scale: float, kv_len: int, bk: int):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]                      # [BQ, D]
+    k = k_ref[0]                      # [BK, D]
+    v = v_ref[0]                      # [BK, D]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale         # [BQ, BK]
+
+    # mask padded kv columns
+    col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, NEG_INF)
+
+    m_prev = m_scr[:]                                        # [BQ, 1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)                                   # [BQ, BK]
+    alpha = jnp.exp(m_prev - m_new)                          # [BQ, 1]
+
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_scr[:] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "bq", "bk"))
+def _flash(q: Array, k: Array, v: Array, scale: float, bq: int, bk: int) -> Array:
+    """q [N, Lq, D], k/v [N, Lk, D] (pre-padded to block multiples is NOT
+    required; padding happens here)."""
+    n, lq, d = q.shape
+    lk = k.shape[1]
+    lq_p = -(-lq // bq) * bq
+    lk_p = -(-lk // bk) * bk
+    if lq_p != lq:
+        q = jnp.pad(q, ((0, 0), (0, lq_p - lq), (0, 0)))
+    if lk_p != lk:
+        k = jnp.pad(k, ((0, 0), (0, lk_p - lk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, lk_p - lk), (0, 0)))
+
+    grid = (n, lq_p // bq, lk_p // bk)
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, kv_len=lk, bk=bk),
+        out_shape=jax.ShapeDtypeStruct((n, lq_p, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, qi, ki: (b, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+    )(q, k, v)
+    return out[:, :lq]
+
+
+def flash_attention(q: Array, k: Array, v: Array, scale: float | None = None,
+                    bq: int = DEFAULT_BQ, bk: int = DEFAULT_BK) -> Array:
+    """q/k/v: [B, H, L, D] → [B, H, Lq, D]. D should be 64/128-aligned."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    qf = q.reshape(b * h, lq, d)
+    kf = k.reshape(b * h, lk, d)
+    vf = v.reshape(b * h, lk, d)
+    bq = min(bq, max(128, lq))
+    bk = min(bk, max(128, lk))
+    out = _flash(qf, kf, vf, float(scale), int(bq), int(bk))
+    return out.reshape(b, h, lq, d)
