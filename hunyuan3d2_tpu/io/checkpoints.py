@@ -286,22 +286,67 @@ def map_dinov2(sd: Dict[str, np.ndarray], cfg, dtype=np.float32,
     }
 
 
-def load_paint_pipeline(model_path: str, view_size: int = 512):
-    """Load a HunyuanPaint checkpoint directory (diffusers layout: unet/
-    config.json + diffusion_pytorch_model.bin, vae/...). Weight mapping for
-    the diffusers UNet/VAE state dicts lands with map_paint_unet/map_sd_vae;
-    until the checkpoints are present locally this raises."""
-    import os
+def load_paint_pipeline(model_path: str, view_size: int = 512, dtype="bf16"):
+    """Load a HunyuanPaint checkpoint directory (diffusers layout:
+    unet/config.json + diffusion_pytorch_model.bin, vae/..., parity:
+    unet/modules.py:422-434). Local path or $HY3DGEN_MODELS; falls back to
+    HF snapshot_download."""
+    import json
 
+    from hunyuan3d2_tpu.io import diffusers_maps as dm
+    from hunyuan3d2_tpu.models import paint_unet, sd_vae
     from hunyuan3d2_tpu.pipelines.hunyuanpaint import HunyuanPaintPipeline
 
-    unet_dir = os.path.join(model_path, "unet")
-    if not os.path.isdir(unet_dir):
-        raise FileNotFoundError(
-            f"paint checkpoint not found at {model_path}; use "
-            "HunyuanPaintPipeline.init_random for weight-free runs")
-    raise NotImplementedError(
-        "diffusers-format paint checkpoint ingestion: map_paint_unet pending")
+    base = os.path.expanduser(os.environ.get("HY3DGEN_MODELS", "~/.cache/hy3dgen"))
+    candidates = [model_path, os.path.join(base, model_path)]
+    root = next((d for d in candidates
+                 if os.path.isdir(os.path.join(d, "unet"))), None)
+    if root is None:
+        try:
+            from huggingface_hub import snapshot_download
+
+            root = snapshot_download(repo_id=model_path)
+        except Exception as e:
+            raise FileNotFoundError(
+                f"paint checkpoint not found at {model_path} "
+                f"(HY3DGEN_MODELS={base}); hub download failed: {e}. "
+                "Use HunyuanPaintPipeline.init_random for weight-free runs.")
+
+    with open(os.path.join(root, "unet", "config.json")) as fh:
+        ucfg_json = json.load(fh)
+    ucfg = paint_unet.PaintUNetConfig(
+        in_channels=12,
+        out_channels=ucfg_json.get("out_channels", 4),
+        block_out_channels=tuple(ucfg_json.get("block_out_channels",
+                                               (320, 640, 1280, 1280))),
+        layers_per_block=ucfg_json.get("layers_per_block", 2),
+        cross_attention_dim=ucfg_json.get("cross_attention_dim", 1024),
+        attention_head_dim=64,
+        norm_num_groups=ucfg_json.get("norm_num_groups", 32),
+    )
+    for name in ("diffusion_pytorch_model.bin", "diffusion_pytorch_model.safetensors"):
+        unet_ckpt = os.path.join(root, "unet", name)
+        if os.path.exists(unet_ckpt):
+            break
+    unet_params = dm.map_paint_unet(load_state_dict(unet_ckpt), ucfg, dtype)
+
+    vcfg_path = os.path.join(root, "vae", "config.json")
+    vcfg_json = json.load(open(vcfg_path)) if os.path.exists(vcfg_path) else {}
+    vcfg = sd_vae.SDVAEConfig(
+        latent_channels=vcfg_json.get("latent_channels", 4),
+        block_out_channels=tuple(vcfg_json.get("block_out_channels",
+                                               (128, 256, 512, 512))),
+        layers_per_block=vcfg_json.get("layers_per_block", 2),
+        scaling_factor=vcfg_json.get("scaling_factor", 0.18215),
+    )
+    for name in ("diffusion_pytorch_model.bin", "diffusion_pytorch_model.safetensors"):
+        vae_ckpt = os.path.join(root, "vae", name)
+        if os.path.exists(vae_ckpt):
+            break
+    vae_params = dm.map_sd_vae(load_state_dict(vae_ckpt), vcfg, dtype)
+
+    return HunyuanPaintPipeline(unet_params, ucfg, vae_params, vcfg,
+                                view_size=view_size)
 
 
 # ---------------------------------------------------------------------------

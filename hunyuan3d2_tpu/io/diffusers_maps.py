@@ -1,0 +1,362 @@
+"""Diffusers-format checkpoint ingestion: AutoencoderKL + UNet2p5D.
+
+Behavioral parity: the paint UNet loads diffusers ``config.json`` +
+``diffusion_pytorch_model.bin`` (reference unet/modules.py:422-434), with the
+2.5D wrapper's state dict prefixing the base UNet with ``unet.`` / the dual
+copy with ``unet_dual.`` and the per-block extras living at
+``...transformer_blocks.{t}.transformer.*`` (the wrapped BasicTransformerBlock)
+and ``...transformer_blocks.{t}.attn_refview/attn_multiview.*``
+(modules.py:46-100). The SD VAE loads a standard diffusers AutoencoderKL
+state dict.
+
+Layout conventions: torch Linear [out,in] → [in,out]; torch Conv2d
+[O,I,kh,kw] → HWIO.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from hunyuan3d2_tpu.io.checkpoints import _resolve_dtype
+
+
+def _lin(sd, prefix, dtype, bias=True):
+    p = {"w": np.ascontiguousarray(sd[prefix + ".weight"].T).astype(dtype)}
+    if bias and prefix + ".bias" in sd:
+        p["b"] = sd[prefix + ".bias"].astype(dtype)
+    return p
+
+
+def _conv(sd, prefix, dtype):
+    w = sd[prefix + ".weight"]
+    return {"w": np.ascontiguousarray(w.transpose(2, 3, 1, 0)).astype(dtype),
+            "b": sd[prefix + ".bias"].astype(dtype)}
+
+
+def _gn(sd, prefix):
+    return {"scale": sd[prefix + ".weight"].astype(np.float32),
+            "bias": sd[prefix + ".bias"].astype(np.float32)}
+
+
+def _ln(sd, prefix):
+    return {"scale": sd[prefix + ".weight"].astype(np.float32),
+            "bias": sd[prefix + ".bias"].astype(np.float32)}
+
+
+def _resnet(sd, prefix, dtype, temb=False):
+    p = {
+        "norm1": _gn(sd, f"{prefix}.norm1"),
+        "conv1": _conv(sd, f"{prefix}.conv1", dtype),
+        "norm2": _gn(sd, f"{prefix}.norm2"),
+        "conv2": _conv(sd, f"{prefix}.conv2", dtype),
+    }
+    if temb and f"{prefix}.time_emb_proj.weight" in sd:
+        p["time_emb_proj"] = _lin(sd, f"{prefix}.time_emb_proj", dtype)
+    if f"{prefix}.conv_shortcut.weight" in sd:
+        p["shortcut"] = _conv(sd, f"{prefix}.conv_shortcut", dtype)
+    return p
+
+
+def _vae_attn(sd, prefix, dtype):
+    return {
+        "norm": _gn(sd, f"{prefix}.group_norm"),
+        "q": _lin(sd, f"{prefix}.to_q", dtype),
+        "k": _lin(sd, f"{prefix}.to_k", dtype),
+        "v": _lin(sd, f"{prefix}.to_v", dtype),
+        "out": _lin(sd, f"{prefix}.to_out.0", dtype),
+    }
+
+
+def map_sd_vae(sd: Dict[str, np.ndarray], cfg, dtype="bf16") -> dict:
+    """diffusers AutoencoderKL state dict → models/sd_vae.py param tree."""
+    dtype = _resolve_dtype(dtype)
+    n_blocks = len(cfg.block_out_channels)
+    enc = {"conv_in": _conv(sd, "encoder.conv_in", dtype), "down": []}
+    for i in range(n_blocks):
+        blk = {"resnets": [
+            _resnet(sd, f"encoder.down_blocks.{i}.resnets.{j}", dtype)
+            for j in range(cfg.layers_per_block)]}
+        ds = f"encoder.down_blocks.{i}.downsamplers.0.conv"
+        if ds + ".weight" in sd:
+            blk["downsample"] = _conv(sd, ds, dtype)
+        enc["down"].append(blk)
+    enc["mid"] = {
+        "res1": _resnet(sd, "encoder.mid_block.resnets.0", dtype),
+        "attn": _vae_attn(sd, "encoder.mid_block.attentions.0", dtype),
+        "res2": _resnet(sd, "encoder.mid_block.resnets.1", dtype),
+    }
+    enc["norm_out"] = _gn(sd, "encoder.conv_norm_out")
+    enc["conv_out"] = _conv(sd, "encoder.conv_out", dtype)
+    enc["quant_conv"] = _conv(sd, "quant_conv", dtype)
+
+    dec = {"post_quant_conv": _conv(sd, "post_quant_conv", dtype),
+           "conv_in": _conv(sd, "decoder.conv_in", dtype)}
+    dec["mid"] = {
+        "res1": _resnet(sd, "decoder.mid_block.resnets.0", dtype),
+        "attn": _vae_attn(sd, "decoder.mid_block.attentions.0", dtype),
+        "res2": _resnet(sd, "decoder.mid_block.resnets.1", dtype),
+    }
+    dec["up"] = []
+    for i in range(n_blocks):
+        blk = {"resnets": [
+            _resnet(sd, f"decoder.up_blocks.{i}.resnets.{j}", dtype)
+            for j in range(cfg.layers_per_block + 1)]}
+        us = f"decoder.up_blocks.{i}.upsamplers.0.conv"
+        if us + ".weight" in sd:
+            blk["upsample"] = _conv(sd, us, dtype)
+        dec["up"].append(blk)
+    dec["norm_out"] = _gn(sd, "decoder.conv_norm_out")
+    dec["conv_out"] = _conv(sd, "decoder.conv_out", dtype)
+    return {"encoder": enc, "decoder": dec}
+
+
+def _attn(sd, prefix, dtype):
+    return {
+        "to_q": _lin(sd, f"{prefix}.to_q", dtype),
+        "to_k": _lin(sd, f"{prefix}.to_k", dtype),
+        "to_v": _lin(sd, f"{prefix}.to_v", dtype),
+        "to_out": _lin(sd, f"{prefix}.to_out.0", dtype),
+    }
+
+
+def _tblock(sd, prefix, dtype, extras: bool):
+    """One (possibly wrapped) transformer block. ``extras`` → the 2.5D
+    attn_refview/attn_multiview live beside the wrapped base block."""
+    base = f"{prefix}.transformer" if f"{prefix}.transformer.norm1.weight" in sd \
+        else prefix
+    p = {
+        "norm1": _ln(sd, f"{base}.norm1"),
+        "attn1": _attn(sd, f"{base}.attn1", dtype),
+        "norm2": _ln(sd, f"{base}.norm2"),
+        "attn2": _attn(sd, f"{base}.attn2", dtype),
+        "norm3": _ln(sd, f"{base}.norm3"),
+        "ff_in": _lin(sd, f"{base}.ff.net.0.proj", dtype),
+        "ff_out": _lin(sd, f"{base}.ff.net.2", dtype),
+    }
+    if extras:
+        if f"{prefix}.attn_refview.to_q.weight" in sd:
+            p["attn_refview"] = _attn(sd, f"{prefix}.attn_refview", dtype)
+        if f"{prefix}.attn_multiview.to_q.weight" in sd:
+            p["attn_multiview"] = _attn(sd, f"{prefix}.attn_multiview", dtype)
+    return p
+
+
+def _transformer2d(sd, prefix, dtype, extras: bool):
+    return {
+        "norm": _gn(sd, f"{prefix}.norm"),
+        "proj_in": _lin(sd, f"{prefix}.proj_in", dtype),
+        "block": _tblock(sd, f"{prefix}.transformer_blocks.0", dtype, extras),
+        "proj_out": _lin(sd, f"{prefix}.proj_out", dtype),
+    }
+
+
+def map_unet_core(sd: Dict[str, np.ndarray], cfg, dtype="bf16",
+                  prefix: str = "unet.", extras: bool = True) -> dict:
+    """diffusers UNet2DConditionModel (+2.5D extras) → paint_unet param tree."""
+    dtype = _resolve_dtype(dtype)
+    s = {kk[len(prefix):]: vv for kk, vv in sd.items()
+         if kk.startswith(prefix)} if prefix else sd
+    n = len(cfg.block_out_channels)
+    p = {
+        "conv_in": _conv(s, "conv_in", dtype),
+        "time_mlp_in": _lin(s, "time_embedding.linear_1", dtype),
+        "time_mlp_out": _lin(s, "time_embedding.linear_2", dtype),
+        "down": [], "up": [],
+    }
+    if cfg.use_camera_embedding and "class_embedding.weight" in s:
+        p["class_embedding"] = s["class_embedding.weight"].astype(np.float32)
+    if "learned_text_clip_gen" in s:
+        p["learned_text_clip_gen"] = s["learned_text_clip_gen"].astype(np.float32)
+        p["learned_text_clip_ref"] = s["learned_text_clip_ref"].astype(np.float32)
+
+    for i in range(n):
+        blk = {"resnets": [], "attns": []}
+        for j in range(cfg.layers_per_block):
+            blk["resnets"].append(
+                _resnet(s, f"down_blocks.{i}.resnets.{j}", dtype, temb=True))
+            if f"down_blocks.{i}.attentions.{j}.proj_in.weight" in s:
+                blk["attns"].append(_transformer2d(
+                    s, f"down_blocks.{i}.attentions.{j}", dtype, extras))
+        ds = f"down_blocks.{i}.downsamplers.0.conv"
+        if ds + ".weight" in s:
+            blk["downsample"] = _conv(s, ds, dtype)
+        p["down"].append(blk)
+
+    p["mid"] = {
+        "res1": _resnet(s, "mid_block.resnets.0", dtype, temb=True),
+        "attn": _transformer2d(s, "mid_block.attentions.0", dtype, extras),
+        "res2": _resnet(s, "mid_block.resnets.1", dtype, temb=True),
+    }
+
+    for i in range(n):
+        blk = {"resnets": [], "attns": []}
+        for j in range(cfg.layers_per_block + 1):
+            blk["resnets"].append(
+                _resnet(s, f"up_blocks.{i}.resnets.{j}", dtype, temb=True))
+            if f"up_blocks.{i}.attentions.{j}.proj_in.weight" in s:
+                blk["attns"].append(_transformer2d(
+                    s, f"up_blocks.{i}.attentions.{j}", dtype, extras))
+        us = f"up_blocks.{i}.upsamplers.0.conv"
+        if us + ".weight" in s:
+            blk["upsample"] = _conv(s, us, dtype)
+        p["up"].append(blk)
+
+    p["norm_out"] = _gn(s, "conv_norm_out")
+    p["conv_out"] = _conv(s, "conv_out", dtype)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# exporters (our pytrees → diffusers state-dict naming). Used to ship weights
+# back to torch users and as the round-trip test of the mapping above.
+# ---------------------------------------------------------------------------
+def _x_lin(out, prefix, p):
+    out[prefix + ".weight"] = np.ascontiguousarray(np.asarray(p["w"], np.float32).T)
+    if "b" in p:
+        out[prefix + ".bias"] = np.asarray(p["b"], np.float32)
+
+
+def _x_conv(out, prefix, p):
+    out[prefix + ".weight"] = np.ascontiguousarray(
+        np.asarray(p["w"], np.float32).transpose(3, 2, 0, 1))
+    out[prefix + ".bias"] = np.asarray(p["b"], np.float32)
+
+
+def _x_norm(out, prefix, p):
+    out[prefix + ".weight"] = np.asarray(p["scale"], np.float32)
+    out[prefix + ".bias"] = np.asarray(p["bias"], np.float32)
+
+
+def _x_resnet(out, prefix, p):
+    _x_norm(out, f"{prefix}.norm1", p["norm1"])
+    _x_conv(out, f"{prefix}.conv1", p["conv1"])
+    _x_norm(out, f"{prefix}.norm2", p["norm2"])
+    _x_conv(out, f"{prefix}.conv2", p["conv2"])
+    if "time_emb_proj" in p:
+        _x_lin(out, f"{prefix}.time_emb_proj", p["time_emb_proj"])
+    if "shortcut" in p:
+        _x_conv(out, f"{prefix}.conv_shortcut", p["shortcut"])
+
+
+def _x_attn(out, prefix, p):
+    _x_lin(out, f"{prefix}.to_q", p["to_q"])
+    _x_lin(out, f"{prefix}.to_k", p["to_k"])
+    _x_lin(out, f"{prefix}.to_v", p["to_v"])
+    _x_lin(out, f"{prefix}.to_out.0", p["to_out"])
+
+
+def _x_tblock(out, prefix, p, extras: bool):
+    base = f"{prefix}.transformer" if extras else prefix
+    _x_norm(out, f"{base}.norm1", p["norm1"])
+    _x_attn(out, f"{base}.attn1", p["attn1"])
+    _x_norm(out, f"{base}.norm2", p["norm2"])
+    _x_attn(out, f"{base}.attn2", p["attn2"])
+    _x_norm(out, f"{base}.norm3", p["norm3"])
+    _x_lin(out, f"{base}.ff.net.0.proj", p["ff_in"])
+    _x_lin(out, f"{base}.ff.net.2", p["ff_out"])
+    if "attn_refview" in p:
+        _x_attn(out, f"{prefix}.attn_refview", p["attn_refview"])
+    if "attn_multiview" in p:
+        _x_attn(out, f"{prefix}.attn_multiview", p["attn_multiview"])
+
+
+def _x_transformer2d(out, prefix, p, extras: bool):
+    _x_norm(out, f"{prefix}.norm", p["norm"])
+    _x_lin(out, f"{prefix}.proj_in", p["proj_in"])
+    _x_tblock(out, f"{prefix}.transformer_blocks.0", p["block"], extras)
+    _x_lin(out, f"{prefix}.proj_out", p["proj_out"])
+
+
+def export_unet_core(params, prefix: str = "unet.", extras: bool = True) -> dict:
+    out = {}
+    _x_conv(out, "conv_in", params["conv_in"])
+    _x_lin(out, "time_embedding.linear_1", params["time_mlp_in"])
+    _x_lin(out, "time_embedding.linear_2", params["time_mlp_out"])
+    if "class_embedding" in params:
+        out["class_embedding.weight"] = np.asarray(params["class_embedding"], np.float32)
+    if "learned_text_clip_gen" in params:
+        out["learned_text_clip_gen"] = np.asarray(params["learned_text_clip_gen"], np.float32)
+        out["learned_text_clip_ref"] = np.asarray(params["learned_text_clip_ref"], np.float32)
+    for i, blk in enumerate(params["down"]):
+        for j, r in enumerate(blk["resnets"]):
+            _x_resnet(out, f"down_blocks.{i}.resnets.{j}", r)
+        for j, a in enumerate(blk["attns"]):
+            _x_transformer2d(out, f"down_blocks.{i}.attentions.{j}", a, extras)
+        if "downsample" in blk:
+            _x_conv(out, f"down_blocks.{i}.downsamplers.0.conv", blk["downsample"])
+    _x_resnet(out, "mid_block.resnets.0", params["mid"]["res1"])
+    _x_transformer2d(out, "mid_block.attentions.0", params["mid"]["attn"], extras)
+    _x_resnet(out, "mid_block.resnets.1", params["mid"]["res2"])
+    for i, blk in enumerate(params["up"]):
+        for j, r in enumerate(blk["resnets"]):
+            _x_resnet(out, f"up_blocks.{i}.resnets.{j}", r)
+        for j, a in enumerate(blk["attns"]):
+            _x_transformer2d(out, f"up_blocks.{i}.attentions.{j}", a, extras)
+        if "upsample" in blk:
+            _x_conv(out, f"up_blocks.{i}.upsamplers.0.conv", blk["upsample"])
+    _x_norm(out, "conv_norm_out", params["norm_out"])
+    _x_conv(out, "conv_out", params["conv_out"])
+    return {prefix + k: v for k, v in out.items()}
+
+
+def export_paint_unet(params) -> dict:
+    sd = export_unet_core(params, prefix="unet.", extras=True)
+    if "dual" in params:
+        sd.update(export_unet_core(params["dual"], prefix="unet_dual.",
+                                   extras=False))
+    return sd
+
+
+def export_sd_vae(params) -> dict:
+    out = {}
+    enc, dec = params["encoder"], params["decoder"]
+    _x_conv(out, "encoder.conv_in", enc["conv_in"])
+    for i, blk in enumerate(enc["down"]):
+        for j, r in enumerate(blk["resnets"]):
+            _x_resnet(out, f"encoder.down_blocks.{i}.resnets.{j}", r)
+        if "downsample" in blk:
+            _x_conv(out, f"encoder.down_blocks.{i}.downsamplers.0.conv",
+                    blk["downsample"])
+    _x_resnet(out, "encoder.mid_block.resnets.0", enc["mid"]["res1"])
+    a = enc["mid"]["attn"]
+    _x_norm(out, "encoder.mid_block.attentions.0.group_norm", a["norm"])
+    _x_lin(out, "encoder.mid_block.attentions.0.to_q", a["q"])
+    _x_lin(out, "encoder.mid_block.attentions.0.to_k", a["k"])
+    _x_lin(out, "encoder.mid_block.attentions.0.to_v", a["v"])
+    _x_lin(out, "encoder.mid_block.attentions.0.to_out.0", a["out"])
+    _x_resnet(out, "encoder.mid_block.resnets.1", enc["mid"]["res2"])
+    _x_norm(out, "encoder.conv_norm_out", enc["norm_out"])
+    _x_conv(out, "encoder.conv_out", enc["conv_out"])
+    _x_conv(out, "quant_conv", enc["quant_conv"])
+    _x_conv(out, "post_quant_conv", dec["post_quant_conv"])
+    _x_conv(out, "decoder.conv_in", dec["conv_in"])
+    _x_resnet(out, "decoder.mid_block.resnets.0", dec["mid"]["res1"])
+    a = dec["mid"]["attn"]
+    _x_norm(out, "decoder.mid_block.attentions.0.group_norm", a["norm"])
+    _x_lin(out, "decoder.mid_block.attentions.0.to_q", a["q"])
+    _x_lin(out, "decoder.mid_block.attentions.0.to_k", a["k"])
+    _x_lin(out, "decoder.mid_block.attentions.0.to_v", a["v"])
+    _x_lin(out, "decoder.mid_block.attentions.0.to_out.0", a["out"])
+    _x_resnet(out, "decoder.mid_block.resnets.1", dec["mid"]["res2"])
+    for i, blk in enumerate(dec["up"]):
+        for j, r in enumerate(blk["resnets"]):
+            _x_resnet(out, f"decoder.up_blocks.{i}.resnets.{j}", r)
+        if "upsample" in blk:
+            _x_conv(out, f"decoder.up_blocks.{i}.upsamplers.0.conv",
+                    blk["upsample"])
+    _x_norm(out, "decoder.conv_norm_out", dec["norm_out"])
+    _x_conv(out, "decoder.conv_out", dec["conv_out"])
+    return out
+
+
+def map_paint_unet(sd: Dict[str, np.ndarray], cfg, dtype="bf16") -> dict:
+    """Full UNet2p5DConditionModel state dict (unet. + unet_dual.)."""
+    from hunyuan3d2_tpu.models.paint_unet import dual_config
+
+    params = map_unet_core(sd, cfg, dtype, prefix="unet.", extras=True)
+    if cfg.use_dual_stream and any(k.startswith("unet_dual.") for k in sd):
+        params["dual"] = map_unet_core(sd, dual_config(cfg), dtype,
+                                       prefix="unet_dual.", extras=False)
+    return params

@@ -187,9 +187,13 @@ def init(key, cfg: PaintUNetConfig = DEFAULT, dual: bool = None):
 
 
 def dual_config(cfg: PaintUNetConfig) -> PaintUNetConfig:
+    # the dual copy predates conv_in/camera-embedding surgery in the
+    # reference (modules.py:415-419 deepcopy before init_condition/
+    # init_camera_embedding) → 4-ch conv_in, no class embedding, no 2.5D attn
     return dataclasses.replace(cfg, in_channels=4,
                                use_multiview_attention=False,
                                use_reference_attention=False,
+                               use_camera_embedding=False,
                                use_dual_stream=False)
 
 
@@ -336,9 +340,10 @@ def apply(params, cfg: PaintUNetConfig, sample: Array, timestep: Array,
             # single-stream fallback: pad control channels with zeros
             dual_params, dual_cfg = params, cfg
             ref_in = jnp.concatenate([ref, jnp.zeros_like(ref), jnp.zeros_like(ref)], axis=-1)
+        ref_labels = (camera_info_ref.reshape(-1)
+                      if dual_cfg.use_camera_embedding else None)
         unet_apply(dual_params, dual_cfg, ref_in, jnp.zeros((b * n_ref,), jnp.float32),
-                   ctx_ref, camera_info_ref.reshape(-1) if cfg.use_camera_embedding else None,
-                   "w", n_ref, cache)
+                   ctx_ref, ref_labels, "w", n_ref, cache)
 
     t = jnp.broadcast_to(jnp.atleast_1d(timestep), (b * n_gen,))
     labels = None
