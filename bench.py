@@ -49,11 +49,11 @@ def main():
     def run_device_stages(seed):
         latents = pipe(image=image, num_inference_steps=5, guidance_scale=5.0,
                        output_type="latents", seed=seed)
+        # sparse device→host transfer + host assembly of the dense grid
+        # (what latents2mesh does before surface extraction)
         grid = pipe.vae.decode_grid(latents, octree_resolution=octree,
-                                    num_chunks=262144)
-        # force full materialization (block_until_ready alone can return
-        # early on the experimental axon platform)
-        return float(jnp.sum(grid))
+                                    num_chunks=262144, to_host=True)
+        return float(grid[0, 0, 0, 0])
 
     # analytic fixture for the host marching stage (realistic surface density)
     lin = np.linspace(-1.01, 1.01, octree + 1, dtype=np.float32)

@@ -205,13 +205,16 @@ def _compute_kv_jit(params, cfg, hidden):
     jax.jit,
     static_argnames=("cfg", "decoder_kind", "octree_resolution", "num_chunks",
                      "box_v", "mc_level", "block", "capacity_frac",
-                     "coarse_factor"),
+                     "coarse_factor", "sparse_output"),
 )
 def _grid_decode_jit(params, cfg, kv, decoder_kind: str, octree_resolution: int,
                      num_chunks: int, box_v: float, mc_level: float,
-                     block: int, capacity_frac: float, coarse_factor: int):
+                     block: int, capacity_frac: float, coarse_factor: int,
+                     sparse_output: bool = False):
     """The ENTIRE latent→grid decode as one compiled program — no per-chunk
-    host dispatches (critical under remote-tunnel dispatch latency)."""
+    host dispatches (critical under remote-tunnel dispatch latency).
+    ``sparse_output`` returns (coarse f16, blk_idx, fine_vals f16) for host
+    assembly instead of the dense grid (228 MB → ~25 MB transfer)."""
     from hunyuan3d2_tpu.volume import decoders
 
     if decoder_kind == "flashvdm" and cfg.num_latents >= 2048:
@@ -238,6 +241,11 @@ def _grid_decode_jit(params, cfg, kv, decoder_kind: str, octree_resolution: int,
     else:
         dec = decoders.FlashVDMVolumeDecoding(
             block=block, capacity_frac=capacity_frac, coarse_factor=coarse_factor)
+    if sparse_output and decoder_kind != "vanilla":
+        return dec.decode_sparse(decode_fn, batch_size=1,
+                                 octree_resolution=octree_resolution,
+                                 num_chunks=num_chunks, box_v=box_v,
+                                 mc_level=mc_level)
     return dec(decode_fn, batch_size=1, octree_resolution=octree_resolution,
                num_chunks=num_chunks, box_v=box_v, mc_level=mc_level)
 
@@ -344,14 +352,15 @@ class ShapeVAE:
         if self.surface_extractor is None:
             self.surface_extractor = surface.SurfaceExtractors[mc_algo]()
         grid_logits = self.decode_grid(latents, octree_resolution, num_chunks,
-                                       box_v, mc_level)
+                                       box_v, mc_level, to_host=True)
         return self.surface_extractor(grid_logits, mc_level=mc_level, box_v=box_v)
 
     def decode_grid(self, latents: Array, octree_resolution: int = 384,
                     num_chunks: int = 65536, box_v: float = 1.01,
-                    mc_level: float = 0.0) -> Array:
+                    mc_level: float = 0.0, to_host: bool = False):
         """latents → dense logit grid, fully jitted (one compiled program per
-        (decoder, resolution) combination)."""
+        (decoder, resolution) combination). ``to_host=True`` uses the sparse
+        transfer path (hierarchical decoders) and returns a numpy grid."""
         from hunyuan3d2_tpu.volume import decoders
 
         hidden = _decode_latents_jit(self.params, self.cfg, latents)
@@ -366,6 +375,16 @@ class ShapeVAE:
         block = getattr(dec, "block", 8)
         cap = getattr(dec, "capacity_frac", 0.12)
         cf = getattr(dec, "coarse_factor", 4)
-        return _grid_decode_jit(self.params, self.cfg, kv, kind,
-                                octree_resolution, num_chunks, box_v, mc_level,
-                                block, cap, cf)
+        sparse = bool(to_host and kind != "vanilla")
+        out = _grid_decode_jit(self.params, self.cfg, kv, kind,
+                               octree_resolution, num_chunks, box_v, mc_level,
+                               block, cap, cf, sparse)
+        if sparse:
+            coarse16, blk_idx, fine16 = out
+            return decoders.assemble_sparse_grid(
+                coarse16, blk_idx, fine16, octree_resolution, block, cf)
+        if to_host:
+            import numpy as np
+
+            return np.asarray(out.astype(jnp.float16), np.float32)
+        return out

@@ -115,9 +115,16 @@ class HierarchicalVolumeDecoding:
         self.capacity_frac = capacity_frac
         self.coarse_factor = coarse_factor
 
-    def __call__(self, decode_fn, batch_size: int, octree_resolution: int,
-                 num_chunks: int = 65536, box_v: float = 1.01,
-                 mc_level: float = 0.0, **kwargs) -> Array:
+    def decode_sparse(self, decode_fn, batch_size: int, octree_resolution: int,
+                      num_chunks: int = 65536, box_v: float = 1.01,
+                      mc_level: float = 0.0, **kwargs):
+        """Device-side block-sparse decode WITHOUT dense assembly.
+
+        Returns (coarse [ncp,ncp,ncp] f16, blk_idx [k] i32, fine_vals
+        [k, block³] f16). The host assembles the dense grid locally
+        (assemble_sparse_grid) — transferring ~25 MB instead of the 228 MB
+        dense 385³ f32 grid, which costs seconds over the remote TPU tunnel.
+        """
         assert batch_size == 1, "hierarchical decode is per-mesh (B=1), vmap for more"
         res = octree_resolution + 1
         block = self.block
@@ -177,6 +184,24 @@ class HierarchicalVolumeDecoding:
 
         fine_vals = jax.lax.map(lambda p: decode_fn(p[None]).astype(jnp.float32)[0], pts)
         fine_vals = fine_vals.reshape(k_pad, block ** 3)[:k]        # [k, block³]
+        return (coarse.astype(jnp.float16), blk_idx.astype(jnp.int32),
+                fine_vals.astype(jnp.float16))
+
+    def __call__(self, decode_fn, batch_size: int, octree_resolution: int,
+                 num_chunks: int = 65536, box_v: float = 1.01,
+                 mc_level: float = 0.0, **kwargs) -> Array:
+        coarse16, blk_idx, fine16 = self.decode_sparse(
+            decode_fn, batch_size, octree_resolution, num_chunks, box_v,
+            mc_level, **kwargs)
+        coarse = coarse16.astype(jnp.float32)
+        fine_vals = fine16.astype(jnp.float32)
+        res = octree_resolution + 1
+        block = self.block
+        cf = self.coarse_factor
+        s = block // cf
+        nb = _cdiv(res, block)
+        res_pad = nb * block
+        ncp = nb * cf + 1
 
         # --- background: exact aligned trilinear interpolation ----------------
         # fine index f ↔ coarse cell f//s with fraction (f%s)/s per axis
@@ -201,6 +226,45 @@ class HierarchicalVolumeDecoding:
         grid = grid.reshape(nb, nb, nb, block, block, block)
         grid = grid.transpose(0, 3, 1, 4, 2, 5).reshape(res_pad, res_pad, res_pad)
         return grid[None, :res, :res, :res]
+
+
+def assemble_sparse_grid(coarse16, blk_idx, fine16, octree_resolution: int,
+                         block: int, coarse_factor: int):
+    """Host-side (numpy) assembly of the sparse decode output into a dense
+    [1, res, res, res] float32 grid — the same aligned trilinear background
+    + block scatter as the on-device path."""
+    import numpy as np
+
+    coarse = np.asarray(coarse16, np.float32)
+    blk_idx = np.asarray(blk_idx)
+    fine_vals = np.asarray(fine16, np.float32)
+    res = octree_resolution + 1
+    s = block // coarse_factor
+    nb = _cdiv(res, block)
+    res_pad = nb * block
+    ncp = coarse.shape[0]
+
+    f_idx = np.arange(res_pad)
+    c0 = np.minimum(f_idx // s, ncp - 2)
+    frac = (f_idx - c0 * s).astype(np.float32) / s
+
+    def lerp_axis(arr, axis):
+        a0 = np.take(arr, c0, axis=axis)
+        a1 = np.take(arr, c0 + 1, axis=axis)
+        shape = [1, 1, 1]
+        shape[axis] = res_pad
+        fr = frac.reshape(shape)
+        return a0 * (1.0 - fr) + a1 * fr
+
+    bg = lerp_axis(lerp_axis(lerp_axis(coarse, 0), 1), 2)
+    grid = bg.reshape(nb, block, nb, block, nb, block)
+    grid = np.ascontiguousarray(grid.transpose(0, 2, 4, 1, 3, 5)).reshape(
+        nb ** 3, block ** 3)
+    grid[blk_idx] = fine_vals
+    grid = grid.reshape(nb, nb, nb, block, block, block)
+    grid = np.ascontiguousarray(grid.transpose(0, 3, 1, 4, 2, 5)).reshape(
+        res_pad, res_pad, res_pad)
+    return grid[None, :res, :res, :res]
 
 
 class FlashVDMVolumeDecoding(HierarchicalVolumeDecoding):
