@@ -59,8 +59,9 @@ class ModelWorker:
         self.worker_id = str(uuid.uuid4())[:6]
         self.rembg = BackgroundRemover()
         if random_weights:
+            size = os.environ.get("HY3D_RANDOM_SIZE", "mini")
             self.pipeline = Hunyuan3DDiTFlowMatchingPipeline.init_random(
-                jax.random.PRNGKey(0), size="mini", dino="tiny")
+                jax.random.PRNGKey(0), size=size, dino="tiny")
         else:
             self.pipeline = Hunyuan3DDiTFlowMatchingPipeline.from_pretrained(
                 model_path, subfolder=subfolder)
