@@ -229,42 +229,58 @@ class HierarchicalVolumeDecoding:
 
 
 def assemble_sparse_grid(coarse16, blk_idx, fine16, octree_resolution: int,
-                         block: int, coarse_factor: int):
+                         block: int, coarse_factor: int,
+                         background: str = "nearest"):
     """Host-side (numpy) assembly of the sparse decode output into a dense
-    [1, res, res, res] float32 grid — the same aligned trilinear background
-    + block scatter as the on-device path."""
+    [1, res, res, res] float16 grid.
+
+    Every true surface cell lives inside a refined block (the decoder's
+    near-surface selection), so the background only has to carry the correct
+    SIGN — nearest-neighbor coarse upsampling (cheap np.take) is sufficient
+    and ~4× faster than trilinear on host.
+    """
     import numpy as np
 
-    coarse = np.asarray(coarse16, np.float32)
+    coarse = np.asarray(coarse16)                 # f16
     blk_idx = np.asarray(blk_idx)
-    fine_vals = np.asarray(fine16, np.float32)
+    fine_vals = np.asarray(fine16)                # f16 [k, block³]
     res = octree_resolution + 1
     s = block // coarse_factor
     nb = _cdiv(res, block)
     res_pad = nb * block
     ncp = coarse.shape[0]
 
-    f_idx = np.arange(res_pad)
-    c0 = np.minimum(f_idx // s, ncp - 2)
-    frac = (f_idx - c0 * s).astype(np.float32) / s
+    del res_pad
+    f_idx = np.arange(res)
+    if background == "nearest":
+        cn = np.minimum((f_idx + s // 2) // s, ncp - 1)
+        bg = coarse[np.ix_(cn, cn, cn)]                        # [res]³ f16
+    else:  # trilinear (aligned, matches the device path)
+        c0 = np.minimum(f_idx // s, ncp - 2)
+        frac = (f_idx - c0 * s).astype(np.float32) / s
 
-    def lerp_axis(arr, axis):
-        a0 = np.take(arr, c0, axis=axis)
-        a1 = np.take(arr, c0 + 1, axis=axis)
-        shape = [1, 1, 1]
-        shape[axis] = res_pad
-        fr = frac.reshape(shape)
-        return a0 * (1.0 - fr) + a1 * fr
+        def lerp_axis(arr, axis):
+            a0 = np.take(arr, c0, axis=axis).astype(np.float32)
+            a1 = np.take(arr, c0 + 1, axis=axis).astype(np.float32)
+            shape = [1, 1, 1]
+            shape[axis] = res
+            return a0 * (1.0 - frac.reshape(shape)) + a1 * frac.reshape(shape)
 
-    bg = lerp_axis(lerp_axis(lerp_axis(coarse, 0), 1), 2)
-    grid = bg.reshape(nb, block, nb, block, nb, block)
-    grid = np.ascontiguousarray(grid.transpose(0, 2, 4, 1, 3, 5)).reshape(
-        nb ** 3, block ** 3)
-    grid[blk_idx] = fine_vals
-    grid = grid.reshape(nb, nb, nb, block, block, block)
-    grid = np.ascontiguousarray(grid.transpose(0, 3, 1, 4, 2, 5)).reshape(
-        res_pad, res_pad, res_pad)
-    return grid[None, :res, :res, :res]
+        bg = lerp_axis(lerp_axis(lerp_axis(coarse, 0), 1), 2).astype(np.float16)
+
+    # direct flat-index scatter of the refined blocks (no giant transposes)
+    bx = (blk_idx // (nb * nb)) * block
+    by = ((blk_idx // nb) % nb) * block
+    bz = (blk_idx % nb) * block
+    loc = np.arange(block)
+    lx, ly, lz = np.meshgrid(loc, loc, loc, indexing="ij")
+    gx = bx[:, None] + lx.reshape(-1)[None]                    # [k, block³]
+    gy = by[:, None] + ly.reshape(-1)[None]
+    gz = bz[:, None] + lz.reshape(-1)[None]
+    ok = (gx < res) & (gy < res) & (gz < res)                  # drop pad points
+    flat = (gx.astype(np.int64) * res + gy) * res + gz
+    bg.reshape(-1)[flat[ok]] = fine_vals[ok]
+    return bg[None]
 
 
 class FlashVDMVolumeDecoding(HierarchicalVolumeDecoding):

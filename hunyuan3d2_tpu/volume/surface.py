@@ -132,7 +132,7 @@ def _marching_tetrahedra(grid: np.ndarray, level: float):
 
     corner_idx = cells[:, None, :] + _CORNERS[None]            # [K, 8, 3]
     flat = (corner_idx[..., 0] * R + corner_idx[..., 1]) * R + corner_idx[..., 2]
-    vals = grid.reshape(-1)[flat]                              # [K, 8] f32
+    vals = grid.reshape(-1)[flat].astype(np.float32)           # [K, 8]
     corner_f = corner_idx.astype(np.float32)
 
     all_tri_verts = []     # list of [T, 3, 3] float
@@ -222,7 +222,7 @@ def _surface_nets(grid: np.ndarray, level: float):
 
     corner_idx = cells[:, None, :] + _CORNERS[None]
     flat = (corner_idx[..., 0] * R + corner_idx[..., 1]) * R + corner_idx[..., 2]
-    vals = grid.reshape(-1)[flat]                              # [K, 8] f32
+    vals = grid.reshape(-1)[flat].astype(np.float32)           # [K, 8]
     corner_f = corner_idx.astype(np.float32)                   # [K, 8, 3]
     # 12 cube edges as corner pairs
     cube_edges = np.array([[0, 1], [1, 2], [2, 3], [3, 0],
@@ -291,9 +291,11 @@ class SurfaceExtractor:
 
     def __call__(self, grid_logits, mc_level: float = 0.0, box_v: float = 1.01,
                  **kwargs) -> List[Optional[Latent2MeshOutput]]:
-        """grid_logits: [B, R, R, R] (jax array or numpy). Per-mesh failures
-        degrade to None (parity: surface_extractors.py:52-63)."""
-        grid_logits = np.asarray(grid_logits, dtype=np.float32)
+        """grid_logits: [B, R, R, R] (jax array or numpy, f16/f32). Per-mesh
+        failures degrade to None (parity: surface_extractors.py:52-63)."""
+        grid_logits = np.asarray(grid_logits)
+        if grid_logits.dtype not in (np.float16, np.float32):
+            grid_logits = grid_logits.astype(np.float32)
         outputs = []
         for i in range(grid_logits.shape[0]):
             try:
