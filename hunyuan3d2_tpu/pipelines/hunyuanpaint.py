@@ -112,6 +112,46 @@ def _denoise_loop(unet_params, ucfg, vae_params, vcfg, key,
     return images  # [n_gen, H, W, 3] in [-1, 1]
 
 
+@functools.partial(jax.jit, static_argnames=("ucfg", "vcfg"))
+def _denoise_loop_lcm(unet_params, ucfg, vae_params, vcfg, key,
+                      ref_latents, normal_latents, position_latents,
+                      cam_gen, cam_ref, timesteps, alphas_cumprod):
+    """Turbo path: LCM consistency sampling, no CFG (parity:
+    hunyuanpaint/pipeline.py:598-603 turbo schedule; LCM step semantics)."""
+    b, n_gen = normal_latents.shape[:2]
+    h, w = normal_latents.shape[2:4]
+    key, k0 = jax.random.split(key)
+    latents = jax.random.normal(k0, (b, n_gen, h, w, 4), jnp.float32)
+
+    _, cache = paint_unet.apply(
+        unet_params, ucfg,
+        jnp.zeros((b, n_gen, h, w, 4), normal_latents.dtype),
+        jnp.float32(0.0), normal_latents, position_latents, ref_latents,
+        cam_gen, cam_ref)
+
+    sched = LCMScheduler()
+    n_steps = timesteps.shape[0]
+
+    def body(carry, i):
+        lat, key = carry
+        t = timesteps[i]
+        t_next = jnp.where(i + 1 < n_steps, timesteps[jnp.minimum(i + 1, n_steps - 1)], 0.0)
+        pred, _ = paint_unet.apply(
+            unet_params, ucfg, lat.astype(normal_latents.dtype), t,
+            normal_latents, position_latents, ref_latents, cam_gen, cam_ref,
+            cache=cache)
+        key, kn = jax.random.split(key)
+        noise = jax.random.normal(kn, lat.shape, jnp.float32)
+        lat, _ = sched.step(pred.astype(jnp.float32), lat.astype(jnp.float32),
+                            t.astype(jnp.int32), t_next.astype(jnp.int32),
+                            alphas_cumprod, noise)
+        return (lat, key), None
+
+    (latents, _), _ = jax.lax.scan(body, (latents, key), jnp.arange(n_steps))
+    images = sd_vae.decode(vae_params, vcfg, latents[0].astype(jnp.bfloat16))
+    return images
+
+
 class HunyuanPaintPipeline:
     """Parity: hunyuanpaint/pipeline.py HunyuanPaintPipeline (:194)."""
 
@@ -180,6 +220,31 @@ class HunyuanPaintPipeline:
         do_cfg = guidance_scale > 1.0 and not self.is_turbo
         cam_gen = jnp.asarray(camera_info_gen, jnp.int32)
         cam_ref = jnp.asarray(camera_info_ref, jnp.int32)
+
+        if self.is_turbo:
+            timesteps, ac = LCMScheduler().make_tables(
+                min(num_inference_steps, 10))
+            with timed_scope("Paint Denoising (turbo)"):
+                images = _denoise_loop_lcm(
+                    self.unet_params, self.unet_cfg, self.vae_params, self.vae_cfg,
+                    key, ref_latents.astype(jnp.bfloat16),
+                    normal_latents.astype(jnp.bfloat16),
+                    position_latents.astype(jnp.bfloat16),
+                    cam_gen, cam_ref, jnp.asarray(timesteps), jnp.asarray(ac))
+                images = np.asarray(images.astype(jnp.float32))
+            images = np.clip(images / 2 + 0.5, 0, 1)
+            if output_type == "pil":
+                out = [Image.fromarray((im * 255).astype(np.uint8)) for im in images]
+            else:
+                out = images
+
+            class _Out:
+                pass
+
+            result = _Out()
+            result.images = out
+            return result
+
         if do_cfg:
             # [uncond | cond]: zero ref latents for the unconditional branch
             ref_latents = jnp.concatenate(

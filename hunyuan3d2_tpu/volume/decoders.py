@@ -110,7 +110,10 @@ class HierarchicalVolumeDecoding:
     """
 
     def __init__(self, block: int = 8, capacity_frac: float = 0.12,
-                 coarse_factor: int = 4):
+                 coarse_factor: int = 2):
+        # coarse_factor=2 → one coarse sample per 4 fine cells (the reference
+        # hierarchical path starts even coarser, ~63³ at octree 384); the
+        # near-surface dilation covers the gap. block must be divisible.
         self.block = block
         self.capacity_frac = capacity_frac
         self.coarse_factor = coarse_factor
@@ -163,6 +166,8 @@ class HierarchicalVolumeDecoding:
 
         k = max(1, min(int(nb ** 3 * self.capacity_frac), nb ** 3))
         _, blk_idx = jax.lax.top_k(flat_score, k)                # [k] block ids
+        # ascending ids → sequential host scatter (cache-friendly assembly)
+        blk_idx = jnp.sort(blk_idx)
 
         # --- decode selected blocks densely ------------------------------------
         bz = blk_idx % nb
@@ -299,7 +304,7 @@ class FlashVDMVolumeDecoding(HierarchicalVolumeDecoding):
     """
 
     def __init__(self, topk_mode: str = "mean", block: int = 8,
-                 capacity_frac: float = 0.10, coarse_factor: int = 4):
+                 capacity_frac: float = 0.08, coarse_factor: int = 2):
         super().__init__(block=block, capacity_frac=capacity_frac,
                          coarse_factor=coarse_factor)
         self.topk_mode = topk_mode
