@@ -44,6 +44,10 @@ def get_lib():
     lib.hy3d_face_components.restype = ctypes.c_int32
     lib.hy3d_simplify.argtypes = [f32p, ctypes.c_int64, i32p, ctypes.c_int64,
                                   ctypes.c_int64, f32p, i64p, i32p, i64p]
+    lib.hy3d_surface_nets.argtypes = [f32p, ctypes.c_int64, ctypes.c_float,
+                                      f32p, ctypes.c_int64, i32p, ctypes.c_int64,
+                                      i64p, i64p]
+    lib.hy3d_surface_nets.restype = ctypes.c_int32
     _lib = lib
     return lib
 
@@ -90,6 +94,27 @@ def face_components(faces: np.ndarray, num_vertices: int):
     labels = np.empty(len(faces), np.int32)
     n = lib.hy3d_face_components(faces, len(faces), num_vertices, labels)
     return labels, int(n)
+
+
+def surface_nets(grid: np.ndarray, level: float = 0.0):
+    """Dense surface nets over [R,R,R] f32 grid → (verts lattice coords,
+    faces). OpenMP-parallel, deterministic output ordering."""
+    lib = get_lib()
+    grid = np.ascontiguousarray(grid, np.float32)
+    R = grid.shape[0]
+    # generous caps: active cells bounded by total surface-adjacent cells
+    verts_cap = max(1 << 20, int(R * R * 24))
+    faces_cap = verts_cap * 4
+    out_v = np.empty((verts_cap, 3), np.float32)
+    out_f = np.empty((faces_cap, 3), np.int32)
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    ret = lib.hy3d_surface_nets(grid.reshape(-1), R, level, out_v, verts_cap,
+                                out_f, faces_cap, ctypes.byref(nv),
+                                ctypes.byref(nf))
+    if ret != 0:
+        raise MemoryError(f"surface_nets capacity exceeded (code {ret})")
+    return out_v[: nv.value].copy(), out_f[: nf.value].copy()
 
 
 def simplify(verts: np.ndarray, faces: np.ndarray, target_faces: int):

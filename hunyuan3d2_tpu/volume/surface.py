@@ -316,7 +316,20 @@ class MarchingTetrahedraExtractor(SurfaceExtractor):
 
 
 class SurfaceNetsExtractor(SurfaceExtractor):
+    """Prefers the native OpenMP kernel (hy3dnative.hy3d_surface_nets);
+    falls back to the vectorized numpy implementation."""
+
+    use_native = True
+
     def _extract(self, grid, level):
+        if self.use_native:
+            try:
+                from hunyuan3d2_tpu import native
+
+                return native.surface_nets(np.ascontiguousarray(grid, np.float32),
+                                           float(level))
+            except Exception as e:  # pragma: no cover - fallback path
+                logger.warning("native surface_nets unavailable (%s); numpy", e)
         return _surface_nets(grid, level)
 
 
