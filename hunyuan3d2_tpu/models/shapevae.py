@@ -241,6 +241,11 @@ def _grid_decode_jit(params, cfg, kv, decoder_kind: str, octree_resolution: int,
     else:
         dec = decoders.FlashVDMVolumeDecoding(
             block=block, capacity_frac=capacity_frac, coarse_factor=coarse_factor)
+    if sparse_output == "actives":
+        grid = dec(decode_fn, batch_size=1, octree_resolution=octree_resolution,
+                   num_chunks=num_chunks, box_v=box_v, mc_level=mc_level)
+        capacity = active_capacity(octree_resolution)
+        return decoders.extract_active_cells(grid, mc_level, capacity)
     if sparse_output and decoder_kind != "vanilla":
         return dec.decode_sparse(decode_fn, batch_size=1,
                                  octree_resolution=octree_resolution,
@@ -248,6 +253,12 @@ def _grid_decode_jit(params, cfg, kv, decoder_kind: str, octree_resolution: int,
                                  mc_level=mc_level)
     return dec(decode_fn, batch_size=1, octree_resolution=octree_resolution,
                num_chunks=num_chunks, box_v=box_v, mc_level=mc_level)
+
+
+def active_capacity(octree_resolution: int) -> int:
+    """Static budget for compacted active cells: surfaces occupy O(R²) cells;
+    6·R² is ~4× a sphere's footprint at any resolution."""
+    return max(1 << 18, 6 * (octree_resolution + 1) ** 2)
 
 
 def decode_queries_topk(params, cfg: ShapeVAEConfig, queries: Array, kv,
@@ -351,6 +362,28 @@ class ShapeVAE:
             self.volume_decoder = decoders.VanillaVolumeDecoder()
         if self.surface_extractor is None:
             self.surface_extractor = surface.SurfaceExtractors[mc_algo]()
+        # fast path: on-device active-cell compaction → tiny transfer → host
+        # mesh build (SN/MT are cell-local). Falls back to the dense path on
+        # capacity overflow or unsupported extractors.
+        if (hasattr(self.surface_extractor, "from_actives")
+                and latents.shape[0] == 1
+                and not isinstance(self.volume_decoder,
+                                   (type(None), decoders.VanillaVolumeDecoder))):
+            dec = self.volume_decoder
+            kind = "flashvdm" if isinstance(dec, decoders.FlashVDMVolumeDecoding) \
+                else "hierarchical"
+            hidden = _decode_latents_jit(self.params, self.cfg, latents)
+            kv = _compute_kv_jit(self.params, self.cfg, hidden)
+            cell_flat, vals, count = _grid_decode_jit(
+                self.params, self.cfg, kv, kind, octree_resolution, num_chunks,
+                box_v, mc_level, dec.block, dec.capacity_frac,
+                dec.coarse_factor, "actives")
+            count = int(count)
+            if count <= cell_flat.shape[0]:
+                out = self.surface_extractor.from_actives(
+                    cell_flat, vals, count, octree_resolution + 1,
+                    mc_level, box_v)
+                return [out]
         grid_logits = self.decode_grid(latents, octree_resolution, num_chunks,
                                        box_v, mc_level, to_host=True)
         return self.surface_extractor(grid_logits, mc_level=mc_level, box_v=box_v)

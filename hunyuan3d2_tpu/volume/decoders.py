@@ -233,6 +233,57 @@ class HierarchicalVolumeDecoding:
         return grid[None, :res, :res, :res]
 
 
+def extract_active_cells(grid: Array, level: float, capacity: int):
+    """On-device active-cell compaction: cells whose 2×2×2 corners straddle
+    ``level``, compacted to a FIXED capacity by an O(N) cumsum scatter
+    (ascending flat-id order — exactly what the host surface builders
+    expect). Returns (cell_flat [capacity] i32 with -1 padding,
+    corner_vals [capacity, 8] f16, count [] i32).
+
+    TPU-native answer to SURVEY.md §7 hard-part 2: the dense grid never
+    leaves the device; the host receives ~C·20 bytes instead of R³·4.
+    """
+    g = grid[0] if grid.ndim == 4 else grid
+    R = g.shape[0]
+    nc = R - 1
+    occ = g > level
+    base = occ[:-1, :-1, :-1]
+    agree = None
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                if dx == dy == dz == 0:
+                    continue
+                c = occ[dx:nc + dx, dy:nc + dy, dz:nc + dz]
+                eq = c == base
+                agree = eq if agree is None else (agree & eq)
+    active = (~agree).reshape(-1)                              # [nc³]
+    count = jnp.sum(active.astype(jnp.int32))
+    pos = jnp.cumsum(active.astype(jnp.int32)) - 1             # [nc³]
+    flat_ids = jnp.arange(nc ** 3, dtype=jnp.int32)
+    dest = jnp.where(active & (pos < capacity), pos, capacity)
+    cell_flat = jnp.full((capacity + 1,), -1, jnp.int32).at[dest].set(
+        flat_ids, mode="drop")[:capacity]
+
+    # gather the 8 corner values for each compacted cell
+    cz = cell_flat % nc
+    cy = (cell_flat // nc) % nc
+    cx = cell_flat // (nc * nc)
+    safe = jnp.maximum(cell_flat, 0)
+    czs = safe % nc
+    cys = (safe // nc) % nc
+    cxs = safe // (nc * nc)
+    corners = jnp.asarray(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+         [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], jnp.int32)
+    pflat = ((cxs[:, None] + corners[None, :, 0]) * R
+             + (cys[:, None] + corners[None, :, 1])) * R \
+        + (czs[:, None] + corners[None, :, 2])
+    vals = g.reshape(-1)[pflat].astype(jnp.float16)
+    del cx, cy, cz
+    return cell_flat, vals, count
+
+
 def assemble_sparse_grid(coarse16, blk_idx, fine16, octree_resolution: int,
                          block: int, coarse_factor: int,
                          background: str = "nearest"):

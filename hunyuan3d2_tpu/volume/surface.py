@@ -129,10 +129,19 @@ def _marching_tetrahedra(grid: np.ndarray, level: float):
     cells = _active_cells(grid, level)              # [K, 3]
     if len(cells) == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
-
-    corner_idx = cells[:, None, :] + _CORNERS[None]            # [K, 8, 3]
+    corner_idx = cells[:, None, :] + _CORNERS[None]
     flat = (corner_idx[..., 0] * R + corner_idx[..., 1]) * R + corner_idx[..., 2]
-    vals = grid.reshape(-1)[flat].astype(np.float32)           # [K, 8]
+    return _mt_from_actives(cells, grid.reshape(-1)[flat], R, level)
+
+
+def _mt_from_actives(cells: np.ndarray, vals_in: np.ndarray, R: int, level: float):
+    """Marching tetrahedra from compacted active cells (cells [K,3],
+    vals [K,8] — fully cell-local, see _sn_from_actives)."""
+    if len(cells) == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+    corner_idx = cells[:, None, :].astype(np.int64) + _CORNERS[None]  # [K,8,3]
+    flat = (corner_idx[..., 0] * R + corner_idx[..., 1]) * R + corner_idx[..., 2]
+    vals = vals_in.astype(np.float32)                          # [K, 8]
     corner_f = corner_idx.astype(np.float32)
 
     all_tri_verts = []     # list of [T, 3, 3] float
@@ -200,18 +209,21 @@ def _marching_tetrahedra(grid: np.ndarray, level: float):
     return verts, faces
 
 
-def _surface_nets(grid: np.ndarray, level: float):
-    """Naive surface nets dual contouring. grid [R,R,R] → verts, faces."""
-    R = grid.shape[0]
-    occ = grid > level
+def _sn_from_actives(cells: np.ndarray, vals: np.ndarray, R: int, level: float):
+    """Surface nets from compacted active cells.
 
-    # cell vertex = mean of the cube-edge crossings; compute via the 8 corners
-    cells = _active_cells(grid, level)
+    cells: [K,3] int cell coords SORTED by flat id; vals: [K,8] corner values
+    (corner order _CORNERS). Fully local: faces derive from each cell's own
+    min-corner lattice edges (an edge with a sign change is contained only in
+    active cells), neighbors resolved by searchsorted over the sorted ids.
+    This is the host half of the on-device active-cell extraction path
+    (ShapeVAE.decode_actives) — no dense grid ever reaches the host.
+    """
     if len(cells) == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
     nc = R - 1
-    # sorted flat ids of active cells; neighbor lookup via searchsorted (no
-    # dense nc³ id array)
+    vals = vals.astype(np.float32)
+    cells = cells.astype(np.int64)
     cell_flat = (cells[:, 0] * nc + cells[:, 1]) * nc + cells[:, 2]
 
     def lookup(flat_ids):
@@ -220,11 +232,7 @@ def _surface_nets(grid: np.ndarray, level: float):
         ok = cell_flat[pos] == flat_ids
         return np.where(ok, pos, -1).astype(np.int32)
 
-    corner_idx = cells[:, None, :] + _CORNERS[None]
-    flat = (corner_idx[..., 0] * R + corner_idx[..., 1]) * R + corner_idx[..., 2]
-    vals = grid.reshape(-1)[flat].astype(np.float32)           # [K, 8]
-    corner_f = corner_idx.astype(np.float32)                   # [K, 8, 3]
-    # 12 cube edges as corner pairs
+    corner_f = (cells[:, None, :] + _CORNERS[None]).astype(np.float32)
     cube_edges = np.array([[0, 1], [1, 2], [2, 3], [3, 0],
                            [4, 5], [5, 6], [6, 7], [7, 4],
                            [0, 4], [1, 5], [2, 6], [3, 7]], dtype=np.int64)
@@ -238,41 +246,33 @@ def _surface_nets(grid: np.ndarray, level: float):
     pb = corner_f[:, cube_edges[:, 1]]
     pts = pa + t[..., None] * (pb - pa)                        # [K, 12, 3]
     w = cross.astype(np.float32)
-    vpos = (pts * w[..., None]).sum(1) / np.maximum(w.sum(1, keepdims=True), 1)
-    verts = vpos.astype(np.float32)                            # [K, 3]
+    verts = ((pts * w[..., None]).sum(1)
+             / np.maximum(w.sum(1, keepdims=True), 1)).astype(np.float32)
 
-    # faces: for each grid edge along axis d with a sign change, connect the
-    # 4 cells around it. Quad orientation from which endpoint is inside.
-    # Flat-index formulation (no argwhere / index-matrix temporaries).
+    # faces: each active cell owns its 3 min-corner lattice edges
+    # (corner0→1 = +x, corner0→3 = +y, corner0→4 = +z)
     strides = np.array([nc * nc, nc, 1], dtype=np.int64)
+    occ0 = vals[:, 0] > level
+    end_corner = {0: 1, 1: 3, 2: 4}
     faces = []
     for d in range(3):
-        sl_lo = [slice(0, nc)] * 3
-        sl_hi = [slice(0, nc)] * 3
-        sl_hi[d] = slice(1, R)
-        lo = occ[tuple(sl_lo)]
-        mask = lo != occ[tuple(sl_hi)]
         u, v = (d + 1) % 3, (d + 2) % 3
-        # border edges (no full 4-cell ring) off
-        bsl = [slice(None)] * 3
-        bsl[u] = 0
-        mask[tuple(bsl)] = False
-        bsl = [slice(None)] * 3
-        bsl[v] = 0
-        mask[tuple(bsl)] = False
-        flat = np.flatnonzero(mask)
-        if len(flat) == 0:
+        change = occ0 != (vals[:, end_corner[d]] > level)
+        interior = (cells[:, u] > 0) & (cells[:, v] > 0)
+        sel = np.flatnonzero(change & interior)
+        if len(sel) == 0:
             continue
+        base = cell_flat[sel]
         su, sv = strides[u], strides[v]
         quad = np.stack([
-            lookup(flat),
-            lookup(flat - su),
-            lookup(flat - su - sv),
-            lookup(flat - sv),
+            sel.astype(np.int32),
+            lookup(base - su),
+            lookup(base - su - sv),
+            lookup(base - sv),
         ], axis=1)
         valid = (quad >= 0).all(1)
         quad = quad[valid]
-        inside_lo = lo.reshape(-1)[flat[valid]]
+        inside_lo = occ0[sel[valid]]
         q = quad
         q[~inside_lo] = quad[~inside_lo][:, ::-1]
         faces.append(q[:, [0, 1, 2]])
@@ -280,6 +280,22 @@ def _surface_nets(grid: np.ndarray, level: float):
     if not faces:
         return verts, np.zeros((0, 3), np.int32)
     return verts, np.concatenate(faces).astype(np.int32)
+
+
+def _gather_corner_vals(grid: np.ndarray, cells: np.ndarray):
+    R = grid.shape[0]
+    corner_idx = cells[:, None, :] + _CORNERS[None]
+    flat = (corner_idx[..., 0] * R + corner_idx[..., 1]) * R + corner_idx[..., 2]
+    return grid.reshape(-1)[flat]
+
+
+def _surface_nets(grid: np.ndarray, level: float):
+    """Naive surface nets dual contouring. grid [R,R,R] → verts, faces."""
+    cells = _active_cells(grid, level)
+    if len(cells) == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+    return _sn_from_actives(cells, _gather_corner_vals(grid, cells),
+                            grid.shape[0], level)
 
 
 # --------------------------------------------------------------------------
@@ -310,9 +326,28 @@ class SurfaceExtractor:
         return outputs
 
 
+def _actives_to_host(cell_flat, vals, count: int, R: int):
+    cf = np.asarray(cell_flat)[:count].astype(np.int64)
+    v = np.asarray(vals)[:count]
+    nc = R - 1
+    cells = np.stack([cf // (nc * nc), (cf // nc) % nc, cf % nc], axis=1)
+    return cells, v
+
+
+def _finish(verts, faces, R: int, box_v: float):
+    verts = verts / (R - 1.0) * (2.0 * box_v) - box_v
+    return Latent2MeshOutput(verts.astype(np.float32), faces)
+
+
 class MarchingTetrahedraExtractor(SurfaceExtractor):
     def _extract(self, grid, level):
         return _marching_tetrahedra(grid, level)
+
+    def from_actives(self, cell_flat, vals, count: int, R: int,
+                     mc_level: float, box_v: float):
+        cells, v = _actives_to_host(cell_flat, vals, count, R)
+        verts, faces = _mt_from_actives(cells, v, R, mc_level)
+        return _finish(verts, faces, R, box_v)
 
 
 class SurfaceNetsExtractor(SurfaceExtractor):
@@ -331,6 +366,12 @@ class SurfaceNetsExtractor(SurfaceExtractor):
             except Exception as e:  # pragma: no cover - fallback path
                 logger.warning("native surface_nets unavailable (%s); numpy", e)
         return _surface_nets(grid, level)
+
+    def from_actives(self, cell_flat, vals, count: int, R: int,
+                     mc_level: float, box_v: float):
+        cells, v = _actives_to_host(cell_flat, vals, count, R)
+        verts, faces = _sn_from_actives(cells, v, R, mc_level)
+        return _finish(verts, faces, R, box_v)
 
 
 SurfaceExtractors = {
