@@ -67,6 +67,40 @@ TINY = PaintUNetConfig(block_out_channels=(32, 64), layers_per_block=1,
                        norm_num_groups=8)
 
 
+def compute_voxel_grid_mask(position: Array, grid_resolution: int) -> Array:
+    """Voxel-locality multiview attention mask (parity: unet/modules.py
+    compute_voxel_grid_mask :302-345): pool the per-view position maps to
+    grid_resolution², average the 3D position over valid (non-background)
+    pixels, and allow attention only between token pairs whose 3D positions
+    are within 1.73/grid_resolution.
+
+    position: [B, N, H, W, 3] in [0,1] (1 ⇒ background). → bool
+    [B, N·g², N·g²]."""
+    b, n, h, w, _ = position.shape
+    g = grid_resolution
+    valid = (position != 1.0).all(axis=-1, keepdims=True)
+    pos = jnp.where(valid, position, 0.0)
+    ph, pw = h // g, w // g
+    pos = pos.reshape(b, n, g, ph, g, pw, 3).sum(axis=(3, 5))
+    cnt = valid.astype(jnp.float32).reshape(b, n, g, ph, g, pw, 1).sum(axis=(3, 5))
+    grid_pos = pos / jnp.maximum(cnt, 1.0)
+    grid_pos = jnp.where(cnt < 5, 0.0, grid_pos)                 # [B,N,g,g,3]
+    flat = grid_pos.reshape(b, n * g * g, 3)
+    d = jnp.linalg.norm(flat[:, :, None, :] - flat[:, None, :, :], axis=-1)
+    return d < (1.73 / g)
+
+
+def compute_multi_resolution_mask(position_maps: Array,
+                                  grid_resolutions=(32, 16, 8)) -> dict:
+    """Parity: modules.py compute_multi_resolution_mask :349-356. Returns
+    {token_count: [B, L, L] bool} keyed by the multiview sequence length."""
+    masks = {}
+    for g in grid_resolutions:
+        m = compute_voxel_grid_mask(position_maps, g)
+        masks[m.shape[1]] = m
+    return masks
+
+
 def sd_timestep_embedding(t: Array, dim: int, max_period: float = 10000.0) -> Array:
     """diffusers Timesteps with flip_sin_to_cos=True, shift=0: [cos|sin]."""
     half = dim // 2
@@ -200,16 +234,23 @@ def dual_config(cfg: PaintUNetConfig) -> PaintUNetConfig:
 # ---------------------------------------------------------------------------
 # apply
 # ---------------------------------------------------------------------------
-def _attention(p, x: Array, kv: Array, heads: int) -> Array:
+def _attention(p, x: Array, kv: Array, heads: int, mask: Array = None) -> Array:
     q = split_heads(Linear.apply(p["to_q"], x), heads)
     k = split_heads(Linear.apply(p["to_k"], kv), heads)
     v = split_heads(Linear.apply(p["to_v"], kv), heads)
-    return Linear.apply(p["to_out"], merge_heads(attn_op(q, k, v)))
+    if mask is not None:
+        from hunyuan3d2_tpu.ops.attention import sdpa
+
+        out = sdpa(q, k, v, mask=mask[:, None])
+    else:
+        out = attn_op(q, k, v)
+    return Linear.apply(p["to_out"], merge_heads(out))
 
 
 def _tblock(p, cfg: PaintUNetConfig, x: Array, context: Array, layer: str,
             mode: str, num_views: int, cache: Dict[str, Array],
-            ref_scale: float, mva_scale: float) -> Array:
+            ref_scale: float, mva_scale: float,
+            mva_masks: dict = None) -> Array:
     heads = x.shape[-1] // cfg.attention_head_dim
     h = layer_norm(x, p["norm1"]["scale"], p["norm1"]["bias"], eps=1e-5)
 
@@ -228,7 +269,9 @@ def _tblock(p, cfg: PaintUNetConfig, x: Array, context: Array, layer: str,
     if num_views > 1 and cfg.use_multiview_attention and mode == "r":
         bn, l, c = h.shape
         mv = h.reshape(bn // num_views, num_views * l, c)
-        out = _attention(p["attn_multiview"], mv, mv, heads)
+        # turbo voxel-locality mask for this sequence length, if provided
+        mask = (mva_masks or {}).get(num_views * l)
+        out = _attention(p["attn_multiview"], mv, mv, heads, mask=mask)
         x = x + mva_scale * out.reshape(bn, l, c)
 
     h = layer_norm(x, p["norm2"]["scale"], p["norm2"]["bias"], eps=1e-5)
@@ -242,14 +285,15 @@ def _tblock(p, cfg: PaintUNetConfig, x: Array, context: Array, layer: str,
 
 
 def _transformer2d(p, cfg: PaintUNetConfig, x: Array, context: Array, layer: str,
-                   mode: str, num_views: int, cache, ref_scale, mva_scale) -> Array:
+                   mode: str, num_views: int, cache, ref_scale, mva_scale,
+                   mva_masks=None) -> Array:
     b, hh, ww, c = x.shape
     res = x
     y = group_norm(x, p["norm"]["scale"], p["norm"]["bias"], cfg.norm_num_groups)
     y = y.reshape(b, hh * ww, c)
     y = Linear.apply(p["proj_in"], y)
     y = _tblock(p["block"], cfg, y, context, layer, mode, num_views, cache,
-                ref_scale, mva_scale)
+                ref_scale, mva_scale, mva_masks)
     y = Linear.apply(p["proj_out"], y)
     return res + y.reshape(b, hh, ww, c)
 
@@ -257,7 +301,8 @@ def _transformer2d(p, cfg: PaintUNetConfig, x: Array, context: Array, layer: str
 def unet_apply(params, cfg: PaintUNetConfig, sample: Array, t: Array,
                context: Array, class_labels: Optional[Array], mode: str,
                num_views: int, cache: Dict[str, Array],
-               ref_scale: float = 1.0, mva_scale: float = 1.0) -> Array:
+               ref_scale: float = 1.0, mva_scale: float = 1.0,
+               mva_masks: dict = None) -> Array:
     """Core UNet2DConditionModel forward (+2.5D attentions).
 
     sample: [(B·N), H, W, C_in] NHWC; t: [(B·N)]; context: [(B·N), 77, D].
@@ -279,7 +324,7 @@ def unet_apply(params, cfg: PaintUNetConfig, sample: Array, t: Array,
             if blk["attns"]:
                 x = _transformer2d(blk["attns"][j], cfg, x, context,
                                    f"down_{i}_{j}", mode, num_views, cache,
-                                   ref_scale, mva_scale)
+                                   ref_scale, mva_scale, mva_masks)
             residuals.append(x)
         if "downsample" in blk:
             x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
@@ -288,7 +333,7 @@ def unet_apply(params, cfg: PaintUNetConfig, sample: Array, t: Array,
 
     x = ResnetBlock.apply(params["mid"]["res1"], x, temb, g)
     x = _transformer2d(params["mid"]["attn"], cfg, x, context, "mid_0",
-                       mode, num_views, cache, ref_scale, mva_scale)
+                       mode, num_views, cache, ref_scale, mva_scale, mva_masks)
     x = ResnetBlock.apply(params["mid"]["res2"], x, temb, g)
 
     for i, blk in enumerate(params["up"]):
@@ -299,7 +344,7 @@ def unet_apply(params, cfg: PaintUNetConfig, sample: Array, t: Array,
             if blk["attns"]:
                 x = _transformer2d(blk["attns"][j], cfg, x, context,
                                    f"up_{i}_{j}", mode, num_views, cache,
-                                   ref_scale, mva_scale)
+                                   ref_scale, mva_scale, mva_masks)
         if "upsample" in blk:
             x = upsample_nearest2x(x)
             x = Conv2d.apply(blk["upsample"], x)
@@ -313,7 +358,8 @@ def apply(params, cfg: PaintUNetConfig, sample: Array, timestep: Array,
           normal_latents: Array, position_latents: Array, ref_latents: Array,
           camera_info_gen: Array, camera_info_ref: Array,
           cache: Optional[Dict[str, Array]] = None,
-          ref_scale: float = 1.0, mva_scale: float = 1.0):
+          ref_scale: float = 1.0, mva_scale: float = 1.0,
+          mva_masks: dict = None):
     """Full 2.5D forward (parity: modules.py:498-599).
 
     sample:          [B, N_gen, H, W, 4] noisy gen-view latents (NHWC inner)
@@ -354,5 +400,5 @@ def apply(params, cfg: PaintUNetConfig, sample: Array, timestep: Array,
     if rs.ndim == 1:
         rs = jnp.repeat(rs, n_gen).reshape(-1, 1, 1)
     out = unet_apply(params, cfg, x, t, ctx_gen, labels, "r", n_gen, cache,
-                     rs, mva_scale)
+                     rs, mva_scale, mva_masks)
     return out.reshape(b, n_gen, *out.shape[1:]), cache

@@ -115,7 +115,8 @@ def _denoise_loop(unet_params, ucfg, vae_params, vcfg, key,
 @functools.partial(jax.jit, static_argnames=("ucfg", "vcfg"))
 def _denoise_loop_lcm(unet_params, ucfg, vae_params, vcfg, key,
                       ref_latents, normal_latents, position_latents,
-                      cam_gen, cam_ref, timesteps, alphas_cumprod):
+                      cam_gen, cam_ref, timesteps, alphas_cumprod,
+                      mva_masks=None):
     """Turbo path: LCM consistency sampling, no CFG (parity:
     hunyuanpaint/pipeline.py:598-603 turbo schedule; LCM step semantics)."""
     b, n_gen = normal_latents.shape[:2]
@@ -139,7 +140,7 @@ def _denoise_loop_lcm(unet_params, ucfg, vae_params, vcfg, key,
         pred, _ = paint_unet.apply(
             unet_params, ucfg, lat.astype(normal_latents.dtype), t,
             normal_latents, position_latents, ref_latents, cam_gen, cam_ref,
-            cache=cache)
+            cache=cache, mva_masks=mva_masks)
         key, kn = jax.random.split(key)
         noise = jax.random.normal(kn, lat.shape, jnp.float32)
         lat, _ = sched.step(pred.astype(jnp.float32), lat.astype(jnp.float32),
@@ -224,13 +225,22 @@ class HunyuanPaintPipeline:
         if self.is_turbo:
             timesteps, ac = LCMScheduler().make_tables(
                 min(num_inference_steps, 10))
+            # voxel-locality multiview attention masks (parity:
+            # hunyuanpaint/pipeline.py:334-339 turbo path)
+            mva_masks = {}
+            pos_maps = jnp.asarray(position01, jnp.float32)
+            for g in (32, 16, 8):
+                if pos_maps.shape[2] % g == 0:
+                    m = paint_unet.compute_voxel_grid_mask(pos_maps, g)
+                    mva_masks[int(m.shape[1])] = m
             with timed_scope("Paint Denoising (turbo)"):
                 images = _denoise_loop_lcm(
                     self.unet_params, self.unet_cfg, self.vae_params, self.vae_cfg,
                     key, ref_latents.astype(jnp.bfloat16),
                     normal_latents.astype(jnp.bfloat16),
                     position_latents.astype(jnp.bfloat16),
-                    cam_gen, cam_ref, jnp.asarray(timesteps), jnp.asarray(ac))
+                    cam_gen, cam_ref, jnp.asarray(timesteps), jnp.asarray(ac),
+                    mva_masks)
                 images = np.asarray(images.astype(jnp.float32))
             images = np.clip(images / 2 + 0.5, 0, 1)
             if output_type == "pil":
