@@ -49,23 +49,39 @@ def main():
     def run_device_stages(seed):
         latents = pipe(image=image, num_inference_steps=5, guidance_scale=5.0,
                        output_type="latents", seed=seed)
-        # sparse device→host transfer + host assembly of the dense grid
-        # (what latents2mesh does before surface extraction)
+        # dense grid stays ON DEVICE (latents2mesh transfers only compacted
+        # active cells); force materialization with a scalar reduction
         grid = pipe.vae.decode_grid(latents, octree_resolution=octree,
-                                    num_chunks=262144, to_host=True)
-        return float(grid[0, 0, 0, 0])
+                                    num_chunks=262144)
+        return float(jnp.sum(grid))
 
-    # analytic fixture for the host marching stage (realistic surface density)
+    # surface stage fixture: analytic sphere at the same 385³ resolution,
+    # resident ON DEVICE like the real decode output (random weights would
+    # give a noise SDF with pathological active-cell counts)
+    import functools
+
+    from hunyuan3d2_tpu.models.shapevae import active_capacity
+    from hunyuan3d2_tpu.volume.decoders import extract_active_cells
+
     lin = np.linspace(-1.01, 1.01, octree + 1, dtype=np.float32)
     xx = lin.reshape(-1, 1, 1)
     yy = lin.reshape(1, -1, 1)
     zz = lin.reshape(1, 1, -1)
-    sphere = (0.6 - np.sqrt(xx * xx + yy * yy + zz * zz)).astype(np.float32)[None]
+    sphere = (0.6 - np.sqrt(xx * xx + yy * yy + zz * zz)).astype(np.float32)
+    sphere_dev = jax.device_put(jnp.asarray(sphere, jnp.float16))
+    cap = active_capacity(octree)
+    extract = jax.jit(functools.partial(extract_active_cells,
+                                        level=0.0, capacity=cap))
     extractor = SurfaceNetsExtractor()
+
+    def run_surface_stage():
+        cell_flat, vals, count = extract(sphere_dev)
+        return extractor.from_actives(cell_flat, vals, int(count),
+                                      octree + 1, 0.0, 1.01)
 
     # warmup (compile)
     run_device_stages(0)
-    extractor(sphere[:, :65, :65, :65], mc_level=0.0)
+    run_surface_stage()
 
     n_runs = 3
     t0 = time.perf_counter()
@@ -75,7 +91,7 @@ def main():
 
     t0 = time.perf_counter()
     for i in range(n_runs):
-        out = extractor(sphere, mc_level=0.0)[0]
+        out = run_surface_stage()
     host_sec = (time.perf_counter() - t0) / n_runs
     assert out is not None and len(out.mesh_v) > 0
 

@@ -286,6 +286,42 @@ def map_dinov2(sd: Dict[str, np.ndarray], cfg, dtype=np.float32,
     }
 
 
+def map_clip_vit(sd: Dict[str, np.ndarray], cfg, dtype=np.float32,
+                 prefix: str = "vision_model.") -> dict:
+    """Map an HF CLIPVisionModel state dict onto models/clip_vit.py params."""
+    dtype = _resolve_dtype(dtype)
+    f32 = np.float32
+
+    def g(k):
+        return sd[prefix + k] if prefix + k in sd else sd[k]
+
+    conv_w = g("embeddings.patch_embedding.weight")          # [H,3,p,p]
+    h = conv_w.shape[0]
+    layers = []
+    for i in range(cfg.num_layers):
+        b = f"encoder.layers.{i}"
+        layers.append({
+            "ln1_scale": g(f"{b}.layer_norm1.weight").astype(f32),
+            "ln1_bias": g(f"{b}.layer_norm1.bias").astype(f32),
+            "q": _lin(sd, prefix + f"{b}.self_attn.q_proj", dtype),
+            "k": _lin(sd, prefix + f"{b}.self_attn.k_proj", dtype),
+            "v": _lin(sd, prefix + f"{b}.self_attn.v_proj", dtype),
+            "out": _lin(sd, prefix + f"{b}.self_attn.out_proj", dtype),
+            "ln2_scale": g(f"{b}.layer_norm2.weight").astype(f32),
+            "ln2_bias": g(f"{b}.layer_norm2.bias").astype(f32),
+            "fc1": _lin(sd, prefix + f"{b}.mlp.fc1", dtype),
+            "fc2": _lin(sd, prefix + f"{b}.mlp.fc2", dtype),
+        })
+    return {
+        "class_embedding": g("embeddings.class_embedding").astype(f32),
+        "pos_embed": g("embeddings.position_embedding.weight").astype(f32),
+        "patch_proj": {"w": conv_w.reshape(h, -1).T.astype(dtype)},
+        "pre_ln_scale": g("pre_layrnorm.weight").astype(f32),
+        "pre_ln_bias": g("pre_layrnorm.bias").astype(f32),
+        "layers": _stack(layers),
+    }
+
+
 def load_paint_pipeline(model_path: str, view_size: int = 512, dtype="bf16"):
     """Load a HunyuanPaint checkpoint directory (diffusers layout:
     unet/config.json + diffusion_pytorch_model.bin, vae/..., parity:
