@@ -355,7 +355,11 @@ class FlashVDMVolumeDecoding(HierarchicalVolumeDecoding):
     """
 
     def __init__(self, topk_mode: str = "mean", block: int = 8,
-                 capacity_frac: float = 0.08, coarse_factor: int = 2):
+                 capacity_frac: float = 0.06, coarse_factor: int = 1):
+        # speed profile: one coarse sample per block corner (the reference's
+        # FlashVDM coarse pass is comparably sparse: 63³ at octree 384) and a
+        # tighter block budget. HierarchicalVolumeDecoding keeps the denser
+        # quality profile.
         super().__init__(block=block, capacity_frac=capacity_frac,
                          coarse_factor=coarse_factor)
         self.topk_mode = topk_mode
