@@ -31,10 +31,13 @@ def _spec_for_path(path: str):
     col_keys = ("img_qkv/w", "txt_qkv/w", "img_mlp_in/w", "txt_mlp_in/w",
                 "linear1/w", "img_mod/w", "txt_mod/w", "mod/w",
                 "c_qkv/w", "mlp_fc/w", "ffn_in/w", "c_kv/w", "c_q/w",
-                "q/w", "k/w", "v/w", "adaLN/w")
+                "q/w", "k/w", "v/w", "adaLN/w",
+                # paint UNet / CLIP
+                "to_q/w", "to_k/w", "to_v/w", "ff_in/w", "proj_in/w", "fc1/w")
     # row-parallel (second of each pair / output projections)
     row_keys = ("img_proj/w", "txt_proj/w", "img_mlp_out/w", "txt_mlp_out/w",
-                "linear2/w", "c_proj/w", "mlp_proj/w", "ffn_out/w", "out/w")
+                "linear2/w", "c_proj/w", "mlp_proj/w", "ffn_out/w", "out/w",
+                "to_out/w", "ff_out/w", "proj_out/w", "fc2/w")
     for k in col_keys:
         if path.endswith(k):
             return _COL
