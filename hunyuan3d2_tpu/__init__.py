@@ -27,8 +27,11 @@ def _setup_compilation_cache():
     try:
         import jax
 
+        platform = _os.environ.get("JAX_PLATFORMS", "axon") or "cpu"
         cache_dir = _os.environ.get(
-            "HY3D_TPU_CACHE", _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"))
+            "HY3D_TPU_CACHE",
+            _os.path.join(_os.path.dirname(__file__), "..",
+                          f".jax_cache_{platform.split(',')[0]}"))
         jax.config.update("jax_compilation_cache_dir", _os.path.abspath(cache_dir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
