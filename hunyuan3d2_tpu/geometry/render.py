@@ -46,26 +46,36 @@ def mean_vertex_normals(n_vertices: int, faces: np.ndarray,
 def linear_grid_put_2d(h: int, w: int, coords: np.ndarray,
                        values: np.ndarray) -> np.ndarray:
     """Bilinear scatter-add of point samples into an [h,w,C] grid, normalized
-    by scattered weight (parity: mesh_render.py:67-117)."""
+    by scattered weight (parity: mesh_render.py:67-117). Uses the native C++
+    splat when available; numpy bincount fallback."""
+    try:
+        from hunyuan3d2_tpu import native
+
+        return native.grid_put_linear(coords, values, h, w)
+    except Exception:  # pragma: no cover
+        pass
     c = values.shape[-1]
-    grid = np.zeros((h * w, c), np.float64)
-    cnt = np.zeros((h * w, 1), np.float64)
+    n = h * w
+    grid = np.zeros((c, n), np.float32)
+    cnt = np.zeros(n, np.float32)
     x = coords[:, 0] * (h - 1)
     y = coords[:, 1] * (w - 1)
     x0 = np.clip(np.floor(x).astype(np.int64), 0, h - 1)
     y0 = np.clip(np.floor(y).astype(np.int64), 0, w - 1)
     x1 = np.minimum(x0 + 1, h - 1)
     y1 = np.minimum(y0 + 1, w - 1)
-    fx = x - x0
-    fy = y - y0
+    fx = (x - x0).astype(np.float32)
+    fy = (y - y0).astype(np.float32)
     for xi, yi, wgt in ((x0, y0, (1 - fx) * (1 - fy)), (x0, y1, (1 - fx) * fy),
                         (x1, y0, fx * (1 - fy)), (x1, y1, fx * fy)):
         idx = xi * w + yi
-        np.add.at(grid, idx, values * wgt[:, None])
-        np.add.at(cnt, idx, wgt[:, None])
-    out = grid / np.maximum(cnt, 1e-8)
-    out[cnt[:, 0] == 0] = 0
-    return out.reshape(h, w, c).astype(np.float32)
+        cnt += np.bincount(idx, weights=wgt, minlength=n)
+        for ch in range(c):
+            grid[ch] += np.bincount(idx, weights=values[:, ch] * wgt,
+                                    minlength=n)
+    out = grid / np.maximum(cnt, 1e-8)[None]
+    out[:, cnt == 0] = 0
+    return np.ascontiguousarray(out.T).reshape(h, w, c).astype(np.float32)
 
 
 def _dilate(mask01: np.ndarray, ksize: int) -> np.ndarray:
@@ -197,13 +207,15 @@ class MeshRender:
     def _interpolate(attr: np.ndarray, face_id: np.ndarray, bary: np.ndarray,
                      idx: np.ndarray) -> np.ndarray:
         """Per-pixel interpolation of per-vertex attributes ([N,C]) using the
-        rasterizer's face ids + barycentrics."""
-        safe = np.maximum(face_id, 0)
-        tri = idx[safe]                               # [H,W,3]
-        vals = attr[tri]                              # [H,W,3,C]
-        out = (vals * bary[..., None]).sum(axis=2)
+        rasterizer's face ids + barycentrics. Per-corner accumulation avoids
+        the [H,W,3,C] temporary."""
+        attr = np.ascontiguousarray(attr, np.float32)
+        tri = idx[np.maximum(face_id, 0)]             # [H,W,3]
+        out = attr[tri[..., 0]] * bary[..., 0:1]
+        out += attr[tri[..., 1]] * bary[..., 1:2]
+        out += attr[tri[..., 2]] * bary[..., 2:3]
         out[face_id < 0] = 0
-        return out.astype(np.float32)
+        return out
 
     def _vertex_normals(self) -> np.ndarray:
         v, f = self.vtx_pos, self.pos_idx
@@ -343,12 +355,25 @@ class MeshRender:
         fn = fn / np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12)
         vn = mean_vertex_normals(len(self.vtx_pos), self.pos_idx, fn)
 
-        fid, bary, _ = self._rasterize(clip, self.pos_idx, resolution)
-        visible = (fid >= 0).astype(np.float32)
+        same_idx = self.uv_idx is self.pos_idx or np.array_equal(
+            self.uv_idx, self.pos_idx)
+        if same_idx:
+            # fused native pass: normals(3) | uv(2) | depth(1)
+            from hunyuan3d2_tpu import native
 
-        normal = self._interpolate(vn, fid, bary, self.pos_idx)
-        uv = self._interpolate(self.vtx_uv, fid, bary, self.uv_idx)
-        depth = self._interpolate(pc[:, 2:3], fid, bary, self.pos_idx)
+            attrs = np.concatenate([vn, self.vtx_uv, pc[:, 2:3]], axis=1)
+            h, w = resolution
+            fid, bary, _, amap = native.rasterize_interp(
+                clip, self.pos_idx, attrs, h, w)
+            amap[fid < 0] = 0
+            normal, uv, depth = amap[..., :3], amap[..., 3:5], amap[..., 5:6]
+            visible = (fid >= 0).astype(np.float32)
+        else:
+            fid, bary, _ = self._rasterize(clip, self.pos_idx, resolution)
+            visible = (fid >= 0).astype(np.float32)
+            normal = self._interpolate(vn, fid, bary, self.pos_idx)
+            uv = self._interpolate(self.vtx_uv, fid, bary, self.uv_idx)
+            depth = self._interpolate(pc[:, 2:3], fid, bary, self.pos_idx)
         if visible.any():
             dmin = depth[visible > 0].min()
             dmax = depth[visible > 0].max()
@@ -372,14 +397,18 @@ class MeshRender:
 
         sel = (reliable > 0).reshape(-1)
         uv_flat = uv.reshape(-1, 2)[sel]
-        img_flat = image.reshape(-1, channel)[sel]
-        cos_flat = cosang.reshape(-1, 1)[sel]
-        sk_flat = sketch.reshape(-1, 1)[sel]
         th, tw = self.texture_size
         coords = uv_flat[:, [1, 0]]
-        texture = linear_grid_put_2d(th, tw, coords, img_flat)
-        cos_map = linear_grid_put_2d(th, tw, coords, cos_flat)
-        boundary = linear_grid_put_2d(th, tw, coords, sk_flat)
+        # fused scatter: [image | cos | sketch] in one bilinear pass
+        stacked = np.concatenate([
+            image.reshape(-1, channel)[sel],
+            cosang.reshape(-1, 1)[sel],
+            sketch.reshape(-1, 1)[sel],
+        ], axis=1)
+        outs = linear_grid_put_2d(th, tw, coords, stacked)
+        texture = outs[..., :channel]
+        cos_map = outs[..., channel:channel + 1]
+        boundary = outs[..., channel + 1:]
         return texture, cos_map, boundary
 
     def fast_bake_texture(self, textures, cos_maps):

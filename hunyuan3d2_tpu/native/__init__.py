@@ -37,9 +37,15 @@ def get_lib():
 
     lib.hy3d_rasterize.argtypes = [f32p, ctypes.c_int64, i32p, ctypes.c_int64,
                                    ctypes.c_int, ctypes.c_int, i32p, f32p, f32p]
+    lib.hy3d_rasterize_interp.argtypes = [
+        f32p, ctypes.c_int64, i32p, ctypes.c_int64, f32p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, i32p, f32p, f32p, f32p]
     lib.hy3d_vertex_inpaint.argtypes = [
         f32p, u8p, f32p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         f32p, ctypes.c_int64, f32p, ctypes.c_int64, i32p, i32p, ctypes.c_int64]
+    lib.hy3d_grid_put_linear.argtypes = [f32p, f32p, ctypes.c_int64,
+                                         ctypes.c_int, ctypes.c_int,
+                                         ctypes.c_int, f32p]
     lib.hy3d_face_components.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64, i32p]
     lib.hy3d_face_components.restype = ctypes.c_int32
     lib.hy3d_simplify.argtypes = [f32p, ctypes.c_int64, i32p, ctypes.c_int64,
@@ -66,6 +72,35 @@ def rasterize(verts_clip: np.ndarray, faces: np.ndarray, height: int, width: int
     lib.hy3d_rasterize(verts_clip, len(verts_clip), faces, len(faces),
                        height, width, face_id, bary, depth)
     return face_id, bary, depth
+
+
+def rasterize_interp(verts_clip: np.ndarray, faces: np.ndarray,
+                     attrs: np.ndarray, height: int, width: int):
+    """Fused rasterization + per-vertex attribute interpolation.
+    attrs [N,C] → (face_id, bary, depth, attr_map [H,W,C])."""
+    lib = get_lib()
+    verts_clip = np.ascontiguousarray(verts_clip, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    attrs = np.ascontiguousarray(attrs, np.float32)
+    c = attrs.shape[1]
+    face_id = np.empty((height, width), np.int32)
+    bary = np.empty((height, width, 3), np.float32)
+    depth = np.empty((height, width), np.float32)
+    out = np.empty((height, width, c), np.float32)
+    lib.hy3d_rasterize_interp(verts_clip, len(verts_clip), faces, len(faces),
+                              attrs, c, height, width, face_id, bary, depth, out)
+    return face_id, bary, depth, out
+
+
+def grid_put_linear(coords: np.ndarray, values: np.ndarray, h: int, w: int):
+    """Bilinear scatter splat → [h,w,C] normalized grid."""
+    lib = get_lib()
+    coords = np.ascontiguousarray(coords, np.float32)
+    values = np.ascontiguousarray(values, np.float32)
+    c = values.shape[1]
+    out = np.empty((h, w, c), np.float32)
+    lib.hy3d_grid_put_linear(coords, values, len(coords), h, w, c, out)
+    return out
 
 
 def vertex_inpaint(texture: np.ndarray, mask: np.ndarray, vtx_pos: np.ndarray,

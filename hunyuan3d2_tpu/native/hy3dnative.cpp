@@ -125,6 +125,32 @@ void hy3d_rasterize(const float* verts, int64_t nv, const int32_t* faces,
   }
 }
 
+// Rasterize + interpolate per-vertex attributes in one fused pass:
+// attrs [nv, C] → out_attr [h, w, C] (0 where empty). Shares the z-resolve
+// with hy3d_rasterize; avoids the big numpy gather temporaries on the host.
+void hy3d_rasterize_interp(const float* verts, int64_t nv, const int32_t* faces,
+                           int64_t nf, const float* attrs, int c, int h, int w,
+                           int32_t* face_id, float* bary, float* depth,
+                           float* out_attr) {
+  hy3d_rasterize(verts, nv, faces, nf, h, w, face_id, bary, depth);
+#pragma omp parallel for schedule(static)
+  for (int64_t p = 0; p < (int64_t)h * w; ++p) {
+    float* dst = out_attr + p * c;
+    int32_t f = face_id[p];
+    if (f < 0) {
+      for (int ch = 0; ch < c; ++ch) dst[ch] = 0.f;
+      continue;
+    }
+    const int32_t* tri = faces + 3 * f;
+    const float b0 = bary[3 * p], b1 = bary[3 * p + 1], b2 = bary[3 * p + 2];
+    const float* a0 = attrs + (int64_t)tri[0] * c;
+    const float* a1 = attrs + (int64_t)tri[1] * c;
+    const float* a2 = attrs + (int64_t)tri[2] * c;
+    for (int ch = 0; ch < c; ++ch)
+      dst[ch] = b0 * a0[ch] + b1 * a1[ch] + b2 * a2[ch];
+  }
+}
+
 // ---------------------------------------------------------------------------
 // Vertex-graph texture inpainting (parity: mesh_processor.meshVerticeInpaint,
 // differentiable_renderer/mesh_processor.cpp:12-156 behavior).
@@ -215,6 +241,39 @@ void hy3d_vertex_inpaint(const float* texture, const uint8_t* mask,
         out_texture[((size_t)u * tw + v) * tc + c] = vcolor[(size_t)vi * tc + c];
       out_mask[(size_t)u * tw + v] = 255;
     }
+  }
+}
+
+// Bilinear scatter-add of point samples into an [h,w,C] grid normalized by
+// scattered weight (the texture-baking splat; numpy twin in geometry/
+// render.py linear_grid_put_2d). coords [n,2] in [0,1] (x→rows, y→cols).
+void hy3d_grid_put_linear(const float* coords, const float* values, int64_t n,
+                          int h, int w, int c, float* out_grid) {
+  std::vector<float> acc((size_t)h * w * c, 0.f);
+  std::vector<float> cnt((size_t)h * w, 0.f);
+  for (int64_t i = 0; i < n; ++i) {
+    float x = coords[2 * i] * (h - 1);
+    float y = coords[2 * i + 1] * (w - 1);
+    int x0 = std::min(std::max((int)std::floor(x), 0), h - 1);
+    int y0 = std::min(std::max((int)std::floor(y), 0), w - 1);
+    int x1 = std::min(x0 + 1, h - 1);
+    int y1 = std::min(y0 + 1, w - 1);
+    float fx = x - x0, fy = y - y0;
+    const float wts[4] = {(1 - fx) * (1 - fy), (1 - fx) * fy, fx * (1 - fy),
+                          fx * fy};
+    const int64_t idx[4] = {(int64_t)x0 * w + y0, (int64_t)x0 * w + y1,
+                            (int64_t)x1 * w + y0, (int64_t)x1 * w + y1};
+    const float* v = values + (int64_t)i * c;
+    for (int k = 0; k < 4; ++k) {
+      cnt[idx[k]] += wts[k];
+      float* dst = acc.data() + idx[k] * c;
+      for (int ch = 0; ch < c; ++ch) dst[ch] += wts[k] * v[ch];
+    }
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t p = 0; p < (int64_t)h * w; ++p) {
+    float inv = cnt[p] > 0.f ? 1.f / std::max(cnt[p], 1e-8f) : 0.f;
+    for (int ch = 0; ch < c; ++ch) out_grid[p * c + ch] = acc[p * c + ch] * inv;
   }
 }
 

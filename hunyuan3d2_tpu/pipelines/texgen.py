@@ -102,23 +102,26 @@ class Hunyuan3DPaintPipeline:
         out = recenter_rgba(rgba, max(rgba.shape[:2]), border_ratio / 2)
         return Image.fromarray(out)
 
-    def render_normal_multiview(self, camera_elevs, camera_azims, use_abs_coor=True):
+    def render_normal_multiview(self, camera_elevs, camera_azims,
+                                use_abs_coor=True, resolution=None):
         from PIL import Image
 
         out = []
         for elev, azim in zip(camera_elevs, camera_azims):
             nm = self.render.render_normal(elev, azim, use_abs_coor=use_abs_coor,
-                                           return_type="np")
+                                           resolution=resolution, return_type="np")
             out.append(Image.fromarray(
                 (np.clip(nm[..., :3], 0, 1) * 255).astype(np.uint8)))
         return out
 
-    def render_position_multiview(self, camera_elevs, camera_azims):
+    def render_position_multiview(self, camera_elevs, camera_azims,
+                                  resolution=None):
         from PIL import Image
 
         out = []
         for elev, azim in zip(camera_elevs, camera_azims):
-            pm = self.render.render_position(elev, azim, return_type="np")
+            pm = self.render.render_position(elev, azim, resolution=resolution,
+                                             return_type="np")
             out.append(Image.fromarray(
                 (np.clip(pm[..., :3], 0, 1) * 255).astype(np.uint8)))
         return out
@@ -158,9 +161,15 @@ class Hunyuan3DPaintPipeline:
         azims = self.config.candidate_camera_azims
         weights = self.config.candidate_view_weights
 
+        # render the control maps at the diffusion view size directly (the
+        # reference renders at 2048 then downsizes to 512 — same information,
+        # 16× less single-core raster/interp work)
+        cond_res = getattr(self.models["multiview_model"], "view_size", 512)
         with timed_scope("Render Cond Maps"):
-            normal_maps = self.render_normal_multiview(elevs, azims, use_abs_coor=True)
-            position_maps = self.render_position_multiview(elevs, azims)
+            normal_maps = self.render_normal_multiview(
+                elevs, azims, use_abs_coor=True, resolution=cond_res)
+            position_maps = self.render_position_multiview(
+                elevs, azims, resolution=cond_res)
 
         camera_info = [camera_info_index(azim, elev)
                        for azim, elev in zip(azims, elevs)]
