@@ -157,6 +157,14 @@ class Hunyuan3DDiTPipeline:
                                          mc_algo=mc_algo)
         return self
 
+    def compile(self):
+        """Parity with the reference's torch.compile opt-in
+        (pipelines.py:249-252). Under JAX everything on the hot path is
+        already traced and compiled (sampling loop, volume decode, encoders
+        are single jitted programs with a persistent on-disk cache), so this
+        just warms the caches by no-op."""
+        return self
+
     def enable_model_cpu_offload(self, *args, **kwargs):
         """API parity with the reference's accelerate offload chain
         (pipelines.py:330-398 `conditioner->model->vae`). On TPU the whole
@@ -185,6 +193,12 @@ class Hunyuan3DDiTPipeline:
             pixel = dino_transform(image_nhwc,
                                    image_size=self.conditioner.main.cfg.image_size)
             tokens = self.conditioner.main.encode(jnp.asarray(pixel, jnp.bfloat16))
+            # NOTE on DualImageEncoder: the reference encodes an additional
+            # CLIP stream (conditioner.py:214) but the DiT forward consumes
+            # only contexts['main'] (hunyuan3ddit.py:388) — so the main
+            # stream alone is what conditions generation here too. The CLIP
+            # tower (models/clip_vit.py + clip_transform) is available for
+            # model variants that consume it.
         if do_cfg:
             num_views = len(view_idxs[0]) if view_idxs is not None else 1
             uncond = self.conditioner.main.unconditional(tokens.shape[0], num_views)

@@ -114,6 +114,14 @@ IMAGE_PROCESSORS = {
 }
 
 
+def clip_transform(image_m11: np.ndarray, image_size: int = 224) -> np.ndarray:
+    """CLIP-normalized variant of dino_transform (parity: the CLIPImageEncoder
+    transform, conditioner.py:120-125)."""
+    return dino_transform(image_m11, image_size,
+                          mean=(0.48145466, 0.4578275, 0.40821073),
+                          std=(0.26862954, 0.26130258, 0.27577711))
+
+
 def dino_transform(image_m11: np.ndarray, image_size: int = 518,
                    mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)) -> np.ndarray:
     """[-1,1] [B,H,W,3] → resized/center-cropped/normalized [B,518,518,3]
