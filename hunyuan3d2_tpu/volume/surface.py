@@ -327,6 +327,11 @@ class SurfaceExtractor:
 
 
 def _actives_to_host(cell_flat, vals, count: int, R: int):
+    # slice ON DEVICE before the host transfer: only `count` of the static
+    # capacity crosses the (slow) device→host link
+    if hasattr(cell_flat, "device"):
+        cell_flat = cell_flat[:count]
+        vals = vals[:count]
     cf = np.asarray(cell_flat)[:count].astype(np.int64)
     v = np.asarray(vals)[:count]
     nc = R - 1
