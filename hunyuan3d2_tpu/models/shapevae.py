@@ -362,6 +362,16 @@ class ShapeVAE:
             self.volume_decoder = decoders.VanillaVolumeDecoder()
         if self.surface_extractor is None:
             self.surface_extractor = surface.SurfaceExtractors[mc_algo]()
+        # batched latents with a per-mesh (B=1) decoder: decode each item
+        if latents.shape[0] > 1 and not isinstance(
+                self.volume_decoder, (type(None), decoders.VanillaVolumeDecoder)):
+            outs = []
+            for i in range(latents.shape[0]):
+                outs.extend(self.latents2mesh(
+                    latents[i:i + 1], octree_resolution=octree_resolution,
+                    mc_level=mc_level, num_chunks=num_chunks, mc_algo=mc_algo,
+                    box_v=box_v, **kwargs))
+            return outs
         # fast path: on-device active-cell compaction → tiny transfer → host
         # mesh build (SN/MT are cell-local). Falls back to the dense path on
         # capacity overflow or unsupported extractors.
