@@ -16,7 +16,6 @@ the framework ships its own minimal, dependency-free mesh type with:
 
 from __future__ import annotations
 
-import base64
 import io as _io
 import json
 import struct

@@ -13,8 +13,6 @@ from typing import List
 
 import jax
 
-from hunyuan3d2_tpu.pipelines.hunyuanpaint import HunyuanPaintPipeline
-
 
 class Multiview_Diffusion_Net:
     def __init__(self, config):

@@ -20,8 +20,6 @@ TPU-first:
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,7 +28,7 @@ from hunyuan3d2_tpu.models import conditioner as conditioner_lib
 from hunyuan3d2_tpu.models import dit as dit_lib
 from hunyuan3d2_tpu.models import shapevae as vae_lib
 from hunyuan3d2_tpu.pipelines import schedulers as sched_lib
-from hunyuan3d2_tpu.utils.imageproc import IMAGE_PROCESSORS, ImageProcessorV2, dino_transform
+from hunyuan3d2_tpu.utils.imageproc import ImageProcessorV2, dino_transform
 from hunyuan3d2_tpu.utils.logger import get_logger
 from hunyuan3d2_tpu.utils.timer import timed_scope
 

@@ -13,7 +13,7 @@ The delight and super-resolution stages are disabled in the reference fork
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
