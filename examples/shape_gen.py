@@ -16,7 +16,7 @@ RANDOM = os.environ.get("HY3D_RANDOM_WEIGHTS", "0") == "1"
 
 if RANDOM:
     pipeline = Hunyuan3DDiTFlowMatchingPipeline.init_random(
-        jax.random.PRNGKey(0), size="mini", dino="tiny")
+        jax.random.PRNGKey(0), size="tiny", dino="tiny")
 else:
     pipeline = Hunyuan3DDiTFlowMatchingPipeline.from_pretrained(
         "tencent/Hunyuan3D-2", subfolder="hunyuan3d-dit-v2-0")

@@ -18,7 +18,7 @@ RANDOM = os.environ.get("HY3D_RANDOM_WEIGHTS", "0") == "1"
 
 if RANDOM:
     pipeline = Hunyuan3DDiTFlowMatchingPipeline.init_random(
-        jax.random.PRNGKey(0), size="mini", dino="tiny")
+        jax.random.PRNGKey(0), size="tiny", dino="tiny")
     # swap to MV conditioner + processor
     pipeline.conditioner = SingleImageEncoder(
         DinoImageEncoderMV(pipeline.conditioner.main.params,
