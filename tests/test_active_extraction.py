@@ -56,3 +56,17 @@ def test_capacity_overflow_detectable():
     grid = _sphere_grid()
     cell_flat, vals, count = extract_active_cells(jnp.asarray(grid), 0.0, 100)
     assert int(count) > 100  # caller must detect and fall back
+
+
+def test_mt_from_actives_watertight():
+    """The default 'mc' extractor through the on-device actives path must
+    still produce a closed 2-manifold."""
+    grid = _sphere_grid(res=32)
+    cell_flat, vals, count = extract_active_cells(jnp.asarray(grid), 0.0, 100000)
+    ex = MarchingTetrahedraExtractor()
+    out = ex.from_actives(cell_flat, vals, int(count), grid.shape[0], 0.0, 1.01)
+    f = out.mesh_f
+    edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all(), np.unique(counts)
