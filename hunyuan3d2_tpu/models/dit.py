@@ -101,7 +101,7 @@ def _init_single_block(key, cfg: DiTConfig):
 def init(key, cfg: DiTConfig = FULL):
     """Initialize a DiT parameter pytree. Per-layer params are stacked along
     axis 0 (``double_blocks`` leaves have leading dim cfg.depth, etc.)."""
-    ks = jax.random.split(key, 8)
+    ks = jax.random.split(key, 9)
     h = cfg.hidden_size
     params = {
         "latent_in": Linear.init(ks[0], cfg.in_channels, h),
@@ -118,7 +118,7 @@ def init(key, cfg: DiTConfig = FULL):
         },
     }
     if cfg.guidance_embed:
-        kg1, kg2 = jax.random.split(ks[5])
+        kg1, kg2 = jax.random.split(ks[8])
         params["guidance_in"] = {
             "in_layer": Linear.init(kg1, 256, h),
             "out_layer": Linear.init(kg2, h, h),

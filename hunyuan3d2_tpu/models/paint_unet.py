@@ -289,7 +289,8 @@ def _transformer2d(p, cfg: PaintUNetConfig, x: Array, context: Array, layer: str
                    mva_masks=None) -> Array:
     b, hh, ww, c = x.shape
     res = x
-    y = group_norm(x, p["norm"]["scale"], p["norm"]["bias"], cfg.norm_num_groups)
+    y = group_norm(x, p["norm"]["scale"], p["norm"]["bias"], cfg.norm_num_groups,
+                   eps=1e-6)  # diffusers Transformer2DModel GroupNorm eps is 1e-6
     y = y.reshape(b, hh * ww, c)
     y = Linear.apply(p["proj_in"], y)
     y = _tblock(p["block"], cfg, y, context, layer, mode, num_views, cache,
@@ -320,7 +321,7 @@ def unet_apply(params, cfg: PaintUNetConfig, sample: Array, t: Array,
     residuals = [x]
     for i, blk in enumerate(params["down"]):
         for j, r in enumerate(blk["resnets"]):
-            x = ResnetBlock.apply(r, x, temb, g)
+            x = ResnetBlock.apply(r, x, temb, g, eps=1e-5)
             if blk["attns"]:
                 x = _transformer2d(blk["attns"][j], cfg, x, context,
                                    f"down_{i}_{j}", mode, num_views, cache,
@@ -331,16 +332,16 @@ def unet_apply(params, cfg: PaintUNetConfig, sample: Array, t: Array,
             x = Conv2d.apply(blk["downsample"], x, stride=2, padding="VALID")
             residuals.append(x)
 
-    x = ResnetBlock.apply(params["mid"]["res1"], x, temb, g)
+    x = ResnetBlock.apply(params["mid"]["res1"], x, temb, g, eps=1e-5)
     x = _transformer2d(params["mid"]["attn"], cfg, x, context, "mid_0",
                        mode, num_views, cache, ref_scale, mva_scale, mva_masks)
-    x = ResnetBlock.apply(params["mid"]["res2"], x, temb, g)
+    x = ResnetBlock.apply(params["mid"]["res2"], x, temb, g, eps=1e-5)
 
     for i, blk in enumerate(params["up"]):
         for j, r in enumerate(blk["resnets"]):
             skip = residuals.pop()
             x = jnp.concatenate([x, skip], axis=-1)
-            x = ResnetBlock.apply(r, x, temb, g)
+            x = ResnetBlock.apply(r, x, temb, g, eps=1e-5)
             if blk["attns"]:
                 x = _transformer2d(blk["attns"][j], cfg, x, context,
                                    f"up_{i}_{j}", mode, num_views, cache,
@@ -349,7 +350,8 @@ def unet_apply(params, cfg: PaintUNetConfig, sample: Array, t: Array,
             x = upsample_nearest2x(x)
             x = Conv2d.apply(blk["upsample"], x)
 
-    x = group_norm(x, params["norm_out"]["scale"], params["norm_out"]["bias"], g)
+    x = group_norm(x, params["norm_out"]["scale"], params["norm_out"]["bias"], g,
+                   eps=1e-5)  # UNet2DConditionModel norm_eps
     x = Conv2d.apply(params["conv_out"], silu(x))
     return x
 

@@ -80,15 +80,18 @@ class ResnetBlock:
         return p
 
     @staticmethod
-    def apply(p, x: Array, temb: Array = None, num_groups: int = 32) -> Array:
+    def apply(p, x: Array, temb: Array = None, num_groups: int = 32,
+              eps: float = 1e-6) -> Array:
+        # eps: 1e-6 for the SD VAE, 1e-5 for UNet2DConditionModel (diffusers
+        # norm_eps defaults per model family)
         from hunyuan3d2_tpu.ops.nn import Linear
 
-        h = group_norm(x, p["norm1"]["scale"], p["norm1"]["bias"], num_groups)
+        h = group_norm(x, p["norm1"]["scale"], p["norm1"]["bias"], num_groups, eps)
         h = Conv2d.apply(p["conv1"], silu(h))
         if temb is not None and "time_emb_proj" in p:
             t = Linear.apply(p["time_emb_proj"], silu(temb))
             h = h + t[:, None, None, :].astype(h.dtype)
-        h = group_norm(h, p["norm2"]["scale"], p["norm2"]["bias"], num_groups)
+        h = group_norm(h, p["norm2"]["scale"], p["norm2"]["bias"], num_groups, eps)
         h = Conv2d.apply(p["conv2"], silu(h))
         if "shortcut" in p:
             x = Conv2d.apply(p["shortcut"], x)

@@ -2,7 +2,7 @@
 
 Parity targets:
   * timestep_embedding — reference hy3dgen/shapegen/models/denoisers/
-    hunyuan3ddit.py:39-69 (cos|sin halves, freqs exp(-ln(1000)*i/128), t×1000).
+    hunyuan3ddit.py:39-69 (cos|sin halves, freqs exp(-ln(10000)*i/128), t×1000).
   * fourier_embed — reference hy3dgen/shapegen/models/autoencoders/
     attention_blocks.py:36 (FourierEmbedder: cat(x, sin(x·2^k), cos(x·2^k))).
   * sincos_1d_pos_embed — reference hy3dgen/shapegen/models/conditioner.py:37
@@ -19,7 +19,7 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def timestep_embedding(t: Array, dim: int = 256, max_period: int = 1000,
+def timestep_embedding(t: Array, dim: int = 256, max_period: int = 10000,
                        time_factor: float = 1000.0) -> Array:
     """Sinusoidal embedding of (continuous, [0,1]-scaled) flow-match time.
 

@@ -24,7 +24,14 @@ def make_mesh(n_devices: Optional[int] = None,
     Defaults: use all devices; dp = 2 when the device count is even and ≥ 4
     (one CFG pair per dp group), else 1.
     """
-    devices = jax.devices()[: n_devices or len(jax.devices())]
+    avail = jax.devices()
+    if n_devices is not None and len(avail) < n_devices:
+        raise RuntimeError(
+            f"make_mesh: {n_devices} devices requested but only {len(avail)} "
+            f"available ({avail[0].platform}). For virtual multi-device CPU "
+            "runs set JAX_PLATFORMS=cpu and XLA_FLAGS="
+            "--xla_force_host_platform_device_count=N before importing jax.")
+    devices = avail[: n_devices or len(avail)]
     n = len(devices)
     if dp is None:
         dp = 2 if n % 2 == 0 and n >= 4 else 1

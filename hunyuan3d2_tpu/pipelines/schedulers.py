@@ -62,12 +62,19 @@ class ConsistencyFlowMatchEulerDiscreteScheduler:
     pcm_timesteps: int = 50
 
     def make_sigmas(self, num_inference_steps: int, sigmas=None) -> np.ndarray:
+        # exact reference arithmetic (schedulers.py:340-349 discrete grid,
+        # :382-410 inference subset): idx = [0, round(i·ratio)−1 …] into
+        # linspace(0,1,T); inference picks floor(linspace(0, pcm, N, endpoint=False))
         t = self.num_train_timesteps
         full = np.linspace(0.0, 1.0, t)
-        euler_idx = (np.arange(self.pcm_timesteps) * (t // self.pcm_timesteps)).astype(np.int64)
+        step_ratio = t // self.pcm_timesteps
+        euler_idx = np.concatenate(
+            [[0], (np.arange(1, self.pcm_timesteps) * step_ratio).round().astype(np.int64) - 1])
         discrete = full[euler_idx]
-        stride = max(1, self.pcm_timesteps // num_inference_steps)
-        chosen = discrete[::stride][:num_inference_steps]
+        inference_idx = np.floor(
+            np.linspace(0, self.pcm_timesteps, num=num_inference_steps, endpoint=False)
+        ).astype(np.int64)
+        chosen = discrete[inference_idx]
         return np.concatenate([chosen, [1.0]]).astype(np.float32)
 
     def timesteps(self, sigmas: np.ndarray) -> np.ndarray:

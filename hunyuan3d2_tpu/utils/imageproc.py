@@ -47,7 +47,9 @@ def recenter_rgba(rgba: np.ndarray, size: int, border_ratio: float = 0.15) -> np
     y0, y1, x0, x1 = ys.min(), ys.max() + 1, xs.min(), xs.max() + 1
     crop = rgba[y0:y1, x0:x1]
     h, w = crop.shape[:2]
-    desired = int(size * (1 - border_ratio * 2))
+    # reference: desired_size = int(size * (1 - border_ratio))
+    # (preprocessors.py:67) — the object spans (1-border_ratio) of the canvas
+    desired = int(size * (1 - border_ratio))
     scale = desired / max(h, w)
     nh, nw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
     crop_img = Image.fromarray(crop).resize((nw, nh), Image.BILINEAR)

@@ -24,7 +24,8 @@ def test_timestep_embedding_matches_reference_math():
     # independent torch computation of the documented formula
     tt = torch.tensor(t) * 1000.0
     half = 128
-    freqs = torch.exp(-np.log(1000.0) * torch.arange(half, dtype=torch.float32) / half)
+    # max_period=10000 — reference hunyuan3ddit.py:39 (audited round 2)
+    freqs = torch.exp(-np.log(10000.0) * torch.arange(half, dtype=torch.float32) / half)
     args = tt[:, None] * freqs[None]
     ref = torch.cat([torch.cos(args), torch.sin(args)], dim=-1).numpy()
     np.testing.assert_allclose(ours, ref, atol=2e-4)  # fp32 exp/cos ULP noise

@@ -31,7 +31,8 @@ def test_recenter_scales_object_to_border_ratio():
     assert out.shape == (128, 128, 4)
     ys, xs = np.nonzero(out[..., 3] > 0)
     extent = max(ys.max() - ys.min(), xs.max() - xs.min()) + 1
-    assert abs(extent - int(128 * 0.7)) <= 2
+    # reference preprocessors.py:66-67: object spans (1 − border_ratio)
+    assert abs(extent - int(128 * 0.85)) <= 2
 
 
 def test_image_processor_ranges():

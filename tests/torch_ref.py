@@ -21,7 +21,7 @@ import torch.nn.functional as F
 def timestep_embedding(t, dim, time_factor=1000.0):
     t = t.float() * time_factor
     half = dim // 2
-    freqs = torch.exp(-math.log(1000.0) * torch.arange(half, dtype=torch.float32) / half)
+    freqs = torch.exp(-math.log(10000.0) * torch.arange(half, dtype=torch.float32) / half)
     args = t[:, None] * freqs[None]
     return torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
 
