@@ -205,22 +205,22 @@ def _compute_kv_jit(params, cfg, hidden):
     jax.jit,
     static_argnames=("cfg", "decoder_kind", "octree_resolution", "num_chunks",
                      "box_v", "mc_level", "block", "capacity_frac",
-                     "coarse_factor", "sparse_output"),
+                     "coarse_factor", "sparse_output", "topk_mode"),
 )
 def _grid_decode_jit(params, cfg, kv, decoder_kind: str, octree_resolution: int,
                      num_chunks: int, box_v: float, mc_level: float,
                      block: int, capacity_frac: float, coarse_factor: int,
-                     sparse_output: bool = False):
+                     sparse_output: bool = False, topk_mode: str = "mean"):
     """The ENTIRE latent→grid decode as one compiled program — no per-chunk
     host dispatches (critical under remote-tunnel dispatch latency).
     ``sparse_output`` returns (coarse f16, blk_idx, fine_vals f16) for host
     assembly instead of the dense grid (228 MB → ~25 MB transfer)."""
     from hunyuan3d2_tpu.volume import decoders
 
-    if decoder_kind == "flashvdm" and cfg.num_latents >= 2048:
-        # top-k KV pruning pays only at long latent contexts (full 3072-token
-        # VAE); reference k rule: 1024 for 3072 tokens, 256 for 512, else L/3
-        # (attention_processors.py:39-71)
+    if decoder_kind == "flashvdm":
+        # KV pruning under FlashVDM at every latent size (parity: the
+        # reference processor always prunes, attention_processors.py:39-71);
+        # reference k rule: 1024 for 3072 tokens, 256 for 512, else L/3
         k_top = {3072: 1024, 512: 256}.get(cfg.num_latents, cfg.num_latents // 3)
 
         def decode_fn(pts):
@@ -229,7 +229,8 @@ def _grid_decode_jit(params, cfg, kv, decoder_kind: str, octree_resolution: int,
             pad = (-p) % gp
             if pad:
                 pts = jnp.pad(pts, ((0, 0), (0, pad), (0, 0)))
-            out = decode_queries_topk(params, cfg, pts, kv, k_top, gp)
+            out = decode_queries_pruned(params, cfg, pts, kv, k_top, gp,
+                                        mode=topk_mode)
             return out[:, :p]
     else:
         decode_fn = lambda pts: decode_queries(params, cfg, pts, kv)
@@ -261,21 +262,26 @@ def active_capacity(octree_resolution: int) -> int:
     return max(1 << 18, 6 * (octree_resolution + 1) ** 2)
 
 
-def decode_queries_topk(params, cfg: ShapeVAEConfig, queries: Array, kv,
-                        k_top: int, group_size: int = 512) -> Array:
-    """FlashVDM-style decode: per spatial group, prune the latent K/V to the
-    top-k keys scored by the group's mean query before cross-attention.
+def decode_queries_pruned(params, cfg: ShapeVAEConfig, queries: Array, kv,
+                          k_top: int, group_size: int = 512,
+                          mode: str = "mean") -> Array:
+    """FlashVDM-style decode: per spatial group, prune the latent K/V before
+    cross-attention. Two scoring modes, parity with the reference processors
+    (attention_processors.py):
 
-    Parity target: FlashVDMCrossAttentionProcessor (reference
-    attention_processors.py:35-82 — subsampled queries → q̄·kᵀ scores →
-    gather top-k K/V → SDPA; grouped-chunk mode :73-79). Our groups are the
-    block-sparse decoder's spatial blocks (queries arrive block-contiguous).
+    * ``mode='mean'`` — FlashVDMCrossAttentionProcessor (:35-82): score each
+      key with the group's mean query (q̄·kᵀ), keep the per-head top-k.
+    * ``mode='merge'`` — FlashVDMTopMCrossAttentionProcessor (:84-96): score
+      with subsampled queries (::30), softmax over keys (unscaled), mean over
+      heads, union over the subsampled queries; a key is "activated" when its
+      score exceeds 1e-6. Static-shape redesign: keep the top-k_top keys by
+      activation (shared across heads, as the reference gathers one index set
+      for all heads) and MASK the non-activated survivors out of the final
+      softmax, which reproduces the reference's variable-length gather
+      exactly whenever ≤ k_top keys are activated.
 
-    NOTE (TPU economics): with ≤512 latent tokens the dense cross-attention
-    is already MXU-bound and cheap; pruning pays at 3072 tokens (full VAE)
-    where it cuts the score matmul ~3×. Keep dense for mini checkpoints.
-
-    queries: [B, P, 3] with P divisible into groups of ``group_size``.
+    Our groups are the block-sparse decoder's spatial blocks (queries arrive
+    block-contiguous). queries: [B, P, 3] with P divisible by ``group_size``.
     """
     g = params["geo_decoder"]
     k, v = kv                                   # [B, H, L, D]
@@ -290,13 +296,26 @@ def decode_queries_topk(params, cfg: ShapeVAEConfig, queries: Array, kv,
     q = layer_norm(q, g["q_norm_scale"], g["q_norm_bias"], cfg.ln_eps)
 
     ng = p // group_size
-    qg = q.reshape(bq, ng, group_size, heads, hd)
-    # group representative: mean query (reference 'mean'/subsample scoring)
-    qbar = qg.mean(axis=2)                                   # [B, ng, H, D]
-    scores = jnp.einsum("bghd,bhld->bghl", qbar, k,
-                        preferred_element_type=jnp.float32)  # [B, ng, H, L]
     k_top = min(k_top, lk)
-    _, idx = jax.lax.top_k(scores, k_top)                    # [B, ng, H, k]
+    qg = q.reshape(bq, ng, group_size, heads, hd)
+    valid = None
+    if mode == "merge":
+        # subsampled queries ::30 (reference TopM :30 stride)
+        q1 = qg[:, :, ::30]                                      # [B, ng, Q1, H, D]
+        sim = jnp.einsum("bgqhd,bhld->bghql", q1, k,
+                         preferred_element_type=jnp.float32)     # [B, ng, H, Q1, L]
+        act = jax.nn.softmax(sim, axis=-1)                       # softmax over keys, unscaled
+        act = act.mean(axis=2)                                   # mean over heads → [B, ng, Q1, L]
+        act = act.max(axis=2)                                    # union over subsampled queries
+        scores, idx = jax.lax.top_k(act, k_top)                  # [B, ng, k]
+        valid = scores > 1e-6                                    # [B, ng, k]
+        idx = jnp.broadcast_to(idx[:, :, None], (b, ng, heads, k_top))
+    else:
+        # group representative: mean query (reference 'mean' scoring)
+        qbar = qg.mean(axis=2)                                   # [B, ng, H, D]
+        scores = jnp.einsum("bghd,bhld->bghl", qbar, k,
+                            preferred_element_type=jnp.float32)  # [B, ng, H, L]
+        _, idx = jax.lax.top_k(scores, k_top)                    # [B, ng, H, k]
 
     # gather pruned K/V per (group, head): k[b, h, idx] → [B, ng, H, k, D]
     k_sel = jnp.take_along_axis(
@@ -309,6 +328,8 @@ def decode_queries_topk(params, cfg: ShapeVAEConfig, queries: Array, kv,
     qh = qg.transpose(0, 1, 3, 2, 4)                          # [B, ng, H, G, D]
     logits = jnp.einsum("bghqd,bghkd->bghqk", qh, k_sel,
                         preferred_element_type=jnp.float32) * (hd ** -0.5)
+    if valid is not None:
+        logits = jnp.where(valid[:, :, None, None, :], logits, -jnp.inf)
     w = jax.nn.softmax(logits, axis=-1).astype(qh.dtype)
     o = jnp.einsum("bghqk,bghkd->bghqd", w, v_sel,
                    preferred_element_type=jnp.float32).astype(x.dtype)
@@ -319,6 +340,13 @@ def decode_queries_topk(params, cfg: ShapeVAEConfig, queries: Array, kv,
     x = x + Linear.apply(g["mlp_proj"], gelu_exact(Linear.apply(g["mlp_fc"], h)))
     x = layer_norm(x, g["ln_post_scale"], g["ln_post_bias"])
     return Linear.apply(g["output_proj"], x)[..., 0]
+
+
+def decode_queries_topk(params, cfg: ShapeVAEConfig, queries: Array, kv,
+                        k_top: int, group_size: int = 512) -> Array:
+    """Back-compat alias for the 'mean' pruning mode."""
+    return decode_queries_pruned(params, cfg, queries, kv, k_top, group_size,
+                                 mode="mean")
 
 
 class ShapeVAE:
@@ -345,13 +373,24 @@ class ShapeVAE:
 
     def enable_flashvdm_decoder(self, enabled: bool = True, topk_mode: str = "mean",
                                 mc_algo: str = "mc", adaptive_kv_selection=True):
+        """Parity: reference model.py:112-129 — enabled chooses FlashVDM
+        (adaptive) or Hierarchical + SurfaceExtractors[mc_algo]; disabled
+        restores the Vanilla decoder + marching-cubes extractor."""
         from hunyuan3d2_tpu.volume import decoders, surface
 
         if enabled:
-            self.volume_decoder = decoders.FlashVDMVolumeDecoding(topk_mode)
+            if adaptive_kv_selection:
+                self.volume_decoder = decoders.FlashVDMVolumeDecoding(topk_mode)
+            else:
+                self.volume_decoder = decoders.HierarchicalVolumeDecoding()
+            if mc_algo not in surface.SurfaceExtractors:
+                raise ValueError(
+                    f"Unsupported mc_algo {mc_algo}, available: "
+                    f"{list(surface.SurfaceExtractors)}")
+            self.surface_extractor = surface.SurfaceExtractors[mc_algo]()
         else:
-            self.volume_decoder = decoders.HierarchicalVolumeDecoding()
-        self.surface_extractor = surface.SurfaceExtractors[mc_algo]()
+            self.volume_decoder = decoders.VanillaVolumeDecoder()
+            self.surface_extractor = surface.SurfaceExtractors["mc"]()
 
     def latents2mesh(self, latents: Array, octree_resolution: int = 384,
                      mc_level: float = 0.0, num_chunks: int = 65536,
@@ -387,7 +426,8 @@ class ShapeVAE:
             cell_flat, vals, count = _grid_decode_jit(
                 self.params, self.cfg, kv, kind, octree_resolution, num_chunks,
                 box_v, mc_level, dec.block, dec.capacity_frac,
-                dec.coarse_factor, "actives")
+                dec.coarse_factor, "actives",
+                getattr(dec, "topk_mode", "mean"))
             count = int(count)
             if count <= cell_flat.shape[0]:
                 out = self.surface_extractor.from_actives(
@@ -421,7 +461,8 @@ class ShapeVAE:
         sparse = bool(to_host and kind != "vanilla")
         out = _grid_decode_jit(self.params, self.cfg, kv, kind,
                                octree_resolution, num_chunks, box_v, mc_level,
-                               block, cap, cf, sparse)
+                               block, cap, cf, sparse,
+                               getattr(dec, "topk_mode", "mean"))
         if sparse:
             coarse16, blk_idx, fine16 = out
             return decoders.assemble_sparse_grid(
