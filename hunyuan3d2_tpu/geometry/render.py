@@ -44,14 +44,15 @@ def mean_vertex_normals(n_vertices: int, faces: np.ndarray,
 
 
 def linear_grid_put_2d(h: int, w: int, coords: np.ndarray,
-                       values: np.ndarray) -> np.ndarray:
+                       values: np.ndarray, out: np.ndarray = None) -> np.ndarray:
     """Bilinear scatter-add of point samples into an [h,w,C] grid, normalized
     by scattered weight (parity: mesh_render.py:67-117). Uses the native C++
-    splat when available; numpy bincount fallback."""
+    splat when available; numpy bincount fallback. ``out``: optional reusable
+    target buffer (hot-loop path)."""
     try:
         from hunyuan3d2_tpu import native
 
-        return native.grid_put_linear(coords, values, h, w)
+        return native.grid_put_linear(coords, values, h, w, out)
     except Exception:  # pragma: no cover
         pass
     c = values.shape[-1]
@@ -335,9 +336,13 @@ class MeshRender:
 
     # -- baking ---------------------------------------------------------------------
     def back_project(self, image, elev, azim, camera_distance=None, center=None,
-                     method=None):
+                     method=None, _bufs=None):
         """Splat one view's pixels into UV texture space with cosine and
-        visibility masking (parity: mesh_render.py:653-757)."""
+        visibility masking (parity: mesh_render.py:653-757).
+
+        ``_bufs``: internal buffer-cache dict for the fused bake hot loop.
+        When passed, the returned arrays alias reused buffers valid only
+        until the next back_project call with the same dict."""
         image = np.asarray(image)
         if image.dtype == np.uint8:
             image = image.astype(np.float32) / 255.0
@@ -364,7 +369,7 @@ class MeshRender:
             attrs = np.concatenate([vn, self.vtx_uv, pc[:, 2:3]], axis=1)
             h, w = resolution
             fid, bary, _, amap = native.rasterize_interp(
-                clip, self.pos_idx, attrs, h, w)
+                clip, self.pos_idx, attrs, h, w, bufs=_bufs)
             amap[fid < 0] = 0
             normal, uv, depth = amap[..., :3], amap[..., 3:5], amap[..., 5:6]
             visible = (fid >= 0).astype(np.float32)
@@ -405,7 +410,12 @@ class MeshRender:
             cosang.reshape(-1, 1)[sel],
             sketch.reshape(-1, 1)[sel],
         ], axis=1)
-        outs = linear_grid_put_2d(th, tw, coords, stacked)
+        out_buf = None
+        if _bufs is not None:
+            from hunyuan3d2_tpu.native import _buf
+
+            out_buf = _buf(_bufs, "bp_splat", (th, tw, channel + 2), np.float32)
+        outs = linear_grid_put_2d(th, tw, coords, stacked, out=out_buf)
         texture = outs[..., :channel]
         cos_map = outs[..., channel:channel + 1]
         boundary = outs[..., channel + 1:]
@@ -439,6 +449,87 @@ class MeshRender:
             cos_maps.append(weight * (cos_map ** exp))
             textures.append(texture)
         return self.fast_bake_texture(textures, cos_maps)
+
+    def bake_texture_fused(self, colors, elevs, azims, camera_distance=None,
+                           center=None, exp=6, weights=None):
+        """Incremental back_project + merge, numerically identical to
+        back_project×N → fast_bake_texture (the >99 %-painted skip tests the
+        trust accumulated from PREVIOUS views, exactly like the sequential
+        reference merge, mesh_render.py:782-798) but never retains per-view
+        full-res maps: geometry maps come from the fused native raster into
+        reused scratch buffers and the mask-apply + splat + merge of each
+        view runs as ONE native pass with no full-res temporaries. On this
+        host fresh large allocations fault at ~100 MB/s, which made the
+        retained-list version ~10× slower than the compute itself."""
+        from hunyuan3d2_tpu import native
+        from hunyuan3d2_tpu.native import _buf
+
+        if weights is None:
+            weights = [1.0] * len(colors)
+        same_idx = self.uv_idx is self.pos_idx or np.array_equal(
+            self.uv_idx, self.pos_idx)
+        if not same_idx:
+            # rare path (per-corner UVs): fall back to the list version
+            textures, cos_maps = [], []
+            for color, elev, azim, weight in zip(colors, elevs, azims, weights):
+                texture, cos_map, _ = self.back_project(
+                    color, elev, azim, camera_distance, center)
+                cos_maps.append(weight * (cos_map ** exp))
+                textures.append(texture)
+            return self.fast_bake_texture(textures, cos_maps)
+
+        th, tw = self.texture_size
+        bufs = self._bake_bufs = getattr(self, "_bake_bufs", {})
+        tex_merge = None
+        trust = np.zeros((th, tw), np.float32)
+        cos_thres = np.cos(self.bake_angle_thres / 180 * np.pi)
+        ksize = self.bake_unreliable_kernel_size * 2 + 1
+        for color, elev, azim, weight in zip(colors, elevs, azims, weights):
+            image = np.asarray(color)
+            if image.dtype == np.uint8:
+                image = image.astype(np.float32) / 255.0
+            if image.ndim == 2:
+                image = image[..., None]
+            h, w = image.shape[:2]
+            if tex_merge is None:
+                tex_merge = np.zeros((th, tw, image.shape[-1]), np.float32)
+
+            mv, mvp = self._mvp(elev, azim, camera_distance, center)
+            clip = cam.transform_pos(mvp, self.vtx_pos)
+            pc = cam.transform_pos(mv, self.vtx_pos)
+            pc = pc[:, :3] / pc[:, 3:4]
+            fn = np.cross(pc[self.pos_idx[:, 1]] - pc[self.pos_idx[:, 0]],
+                          pc[self.pos_idx[:, 2]] - pc[self.pos_idx[:, 0]])
+            fn = fn / np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12)
+            vn = mean_vertex_normals(len(self.vtx_pos), self.pos_idx, fn)
+            attrs = np.concatenate([vn, self.vtx_uv, pc[:, 2:3]], axis=1)
+            fid, _, _, amap = native.rasterize_interp(
+                clip, self.pos_idx, attrs, h, w, bufs=bufs)
+
+            visible = _buf(bufs, "bk_vis", (h, w), np.uint8)
+            np.greater_equal(fid, 0, out=visible.view(bool))
+            depth = amap[..., 5]
+            dsel = depth[visible > 0]
+            depth_img = _buf(bufs, "bk_depth", (h, w), np.float32)
+            if dsel.size:
+                dmin, dmax = dsel.min(), dsel.max()
+                np.multiply(depth - dmin, visible / max(dmax - dmin, 1e-12),
+                            out=depth_img)
+            else:
+                depth_img[:] = 0
+            sketch = self.render_sketch_from_depth(depth_img)
+            inv_dilated = _dilate(1 - visible, ksize)
+            sketch_dilated = _dilate((sketch[..., 0] > 0).astype(np.uint8), ksize)
+            reliable = _buf(bufs, "bk_rel", (h, w), np.uint8)
+            np.logical_and(inv_dilated == 0, sketch_dilated < 0.5,
+                           out=reliable.view(bool))
+            native.bake_view(amap, fid, image, reliable, cos_thres,
+                             weight, exp, tex_merge, trust)
+        if tex_merge is None:
+            return (np.zeros((th, tw, 3), np.float32),
+                    np.zeros((th, tw, 1), bool))
+        tex_merge /= np.maximum(trust[..., None], 1e-8)
+        return tex_merge, trust[..., None] > 1e-8
 
     def uv_inpaint(self, texture, mask: np.ndarray) -> np.ndarray:
         """Vertex-graph inpaint (native) + cv2 Navier-Stokes inpaint

@@ -46,6 +46,11 @@ def get_lib():
     lib.hy3d_grid_put_linear.argtypes = [f32p, f32p, ctypes.c_int64,
                                          ctypes.c_int, ctypes.c_int,
                                          ctypes.c_int, f32p]
+    lib.hy3d_bake_view.argtypes = [
+        f32p, i32p, f32p, u8p, ctypes.c_float, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ctypes.c_float, f32p, f32p]
+    lib.hy3d_bake_view.restype = ctypes.c_int
     lib.hy3d_face_components.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64, i32p]
     lib.hy3d_face_components.restype = ctypes.c_int32
     lib.hy3d_simplify.argtypes = [f32p, ctypes.c_int64, i32p, ctypes.c_int64,
@@ -75,32 +80,76 @@ def rasterize(verts_clip: np.ndarray, faces: np.ndarray, height: int, width: int
 
 
 def rasterize_interp(verts_clip: np.ndarray, faces: np.ndarray,
-                     attrs: np.ndarray, height: int, width: int):
+                     attrs: np.ndarray, height: int, width: int, bufs=None):
     """Fused rasterization + per-vertex attribute interpolation.
-    attrs [N,C] → (face_id, bary, depth, attr_map [H,W,C])."""
+    attrs [N,C] → (face_id, bary, depth, attr_map [H,W,C]).
+
+    ``bufs``: optional dict used as a buffer cache — first-touch page faults
+    on this host are ~100 MB/s, so re-allocating the ~180 MB of 2048² output
+    maps per view dominates the bake; callers on a hot loop pass a persistent
+    dict and must consume the outputs before the next call with the same
+    dict."""
     lib = get_lib()
     verts_clip = np.ascontiguousarray(verts_clip, np.float32)
     faces = np.ascontiguousarray(faces, np.int32)
     attrs = np.ascontiguousarray(attrs, np.float32)
     c = attrs.shape[1]
-    face_id = np.empty((height, width), np.int32)
-    bary = np.empty((height, width, 3), np.float32)
-    depth = np.empty((height, width), np.float32)
-    out = np.empty((height, width, c), np.float32)
+    face_id = _buf(bufs, "ri_fid", (height, width), np.int32)
+    bary = _buf(bufs, "ri_bary", (height, width, 3), np.float32)
+    depth = _buf(bufs, "ri_depth", (height, width), np.float32)
+    out = _buf(bufs, "ri_amap", (height, width, c), np.float32)
     lib.hy3d_rasterize_interp(verts_clip, len(verts_clip), faces, len(faces),
                               attrs, c, height, width, face_id, bary, depth, out)
     return face_id, bary, depth, out
 
 
-def grid_put_linear(coords: np.ndarray, values: np.ndarray, h: int, w: int):
-    """Bilinear scatter splat → [h,w,C] normalized grid."""
+def _buf(bufs, name, shape, dtype):
+    if bufs is None:
+        return np.empty(shape, dtype)
+    a = bufs.get(name)
+    if a is None or a.shape != shape or a.dtype != dtype:
+        a = np.empty(shape, dtype)
+        bufs[name] = a
+    return a
+
+
+def grid_put_linear(coords: np.ndarray, values: np.ndarray, h: int, w: int,
+                    out: np.ndarray = None):
+    """Bilinear scatter splat → [h,w,C] normalized grid. ``out``: optional
+    preallocated [h,w,C] fp32 target (reused-buffer hot path)."""
     lib = get_lib()
     coords = np.ascontiguousarray(coords, np.float32)
     values = np.ascontiguousarray(values, np.float32)
     c = values.shape[1]
-    out = np.empty((h, w, c), np.float32)
+    if out is None:
+        out = np.empty((h, w, c), np.float32)
+    else:
+        assert out.shape == (h, w, c) and out.dtype == np.float32 \
+            and out.flags.c_contiguous
     lib.hy3d_grid_put_linear(coords, values, len(coords), h, w, c, out)
     return out
+
+
+def bake_view(amap: np.ndarray, fid: np.ndarray, image: np.ndarray,
+              reliable: np.ndarray, cos_thres: float, weight: float,
+              exp: float, tex_merge: np.ndarray, trust: np.ndarray) -> bool:
+    """Fused mask+splat+merge of one view into the running texture
+    (numerically identical to back_project → fast_bake_texture).
+    tex_merge [th,tw,C] and trust [th,tw] are accumulated in place.
+    Returns False when the view was skipped (>99 % already painted)."""
+    lib = get_lib()
+    h, w, c = image.shape
+    th, tw = trust.shape
+    assert amap.shape == (h, w, 6) and fid.shape == (h, w)
+    assert tex_merge.shape == (th, tw, c)
+    merged = lib.hy3d_bake_view(
+        np.ascontiguousarray(amap, np.float32),
+        np.ascontiguousarray(fid, np.int32),
+        np.ascontiguousarray(image, np.float32),
+        np.ascontiguousarray(reliable, np.uint8),
+        float(cos_thres), h, w, c, th, tw, float(weight), float(exp),
+        tex_merge, trust)
+    return bool(merged)
 
 
 def vertex_inpaint(texture: np.ndarray, mask: np.ndarray, vtx_pos: np.ndarray,

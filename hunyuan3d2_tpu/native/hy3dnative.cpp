@@ -249,8 +249,13 @@ void hy3d_vertex_inpaint(const float* texture, const uint8_t* mask,
 // render.py linear_grid_put_2d). coords [n,2] in [0,1] (x→rows, y→cols).
 void hy3d_grid_put_linear(const float* coords, const float* values, int64_t n,
                           int h, int w, int c, float* out_grid) {
-  std::vector<float> acc((size_t)h * w * c, 0.f);
-  std::vector<float> cnt((size_t)h * w, 0.f);
+  // Reused across calls: first-touch page faults on this host are ~100 MB/s,
+  // so re-allocating ~100 MB of scratch per view dominated the bake. Static
+  // buffers grow once and stay warm (host render path is single-threaded).
+  static std::vector<float> acc;
+  static std::vector<float> cnt;
+  acc.assign((size_t)h * w * c, 0.f);
+  cnt.assign((size_t)h * w, 0.f);
   for (int64_t i = 0; i < n; ++i) {
     float x = coords[2 * i] * (h - 1);
     float y = coords[2 * i + 1] * (w - 1);
@@ -275,6 +280,75 @@ void hy3d_grid_put_linear(const float* coords, const float* values, int64_t n,
     float inv = cnt[p] > 0.f ? 1.f / std::max(cnt[p], 1e-8f) : 0.f;
     for (int ch = 0; ch < c; ++ch) out_grid[p * c + ch] = acc[p * c + ch] * inv;
   }
+}
+
+// Fused per-view texture bake: applies the reliability/cosine masks, splats
+// [image | cos] bilinearly into per-view accumulators, normalizes, and merges
+// into the running texture with the reference's >99%-painted skip — one pass,
+// no intermediate full-res arrays (numerically identical to back_project →
+// fast_bake_texture, reference mesh_render.py:653-798).
+//   amap:     [h,w,6] (nx,ny,nz, u,v, depth) from hy3d_rasterize_interp
+//   fid:      [h,w] face ids (<0 = background)
+//   image:    [h,w,c] view colors
+//   reliable: [h,w] uint8 (visibility-eroded & not near a depth edge)
+//   tex_merge:[th,tw,c] running weighted sum; trust: [th,tw] running weight
+// Returns 1 if the view was merged, 0 if skipped (>99% already painted).
+int hy3d_bake_view(const float* amap, const int32_t* fid, const float* image,
+                   const uint8_t* reliable, float cos_thres, int h, int w,
+                   int c, int th, int tw, float weight, float expnt,
+                   float* tex_merge, float* trust) {
+  static std::vector<float> acc;  // [th*tw*(c+1)] per-view color|cos sums
+  static std::vector<float> cnt;  // [th*tw] per-view bilinear weights
+  const int cc = c + 1;
+  acc.assign((size_t)th * tw * cc, 0.f);
+  cnt.assign((size_t)th * tw, 0.f);
+  for (int64_t p = 0; p < (int64_t)h * w; ++p) {
+    if (!reliable[p] || fid[p] < 0) continue;
+    const float* a = amap + p * 6;
+    float cosang = -a[2];
+    if (cosang < cos_thres) cosang = 0.f;
+    // row = v, col = u (back_project coords = uv[:, [1,0]])
+    float x = a[4] * (th - 1);
+    float y = a[3] * (tw - 1);
+    int x0 = std::min(std::max((int)std::floor(x), 0), th - 1);
+    int y0 = std::min(std::max((int)std::floor(y), 0), tw - 1);
+    int x1 = std::min(x0 + 1, th - 1);
+    int y1 = std::min(y0 + 1, tw - 1);
+    float fx = x - x0, fy = y - y0;
+    const float wts[4] = {(1 - fx) * (1 - fy), (1 - fx) * fy, fx * (1 - fy),
+                          fx * fy};
+    const int64_t idx[4] = {(int64_t)x0 * tw + y0, (int64_t)x0 * tw + y1,
+                            (int64_t)x1 * tw + y0, (int64_t)x1 * tw + y1};
+    const float* col = image + p * c;
+    for (int k = 0; k < 4; ++k) {
+      cnt[idx[k]] += wts[k];
+      float* dst = acc.data() + idx[k] * cc;
+      for (int ch = 0; ch < c; ++ch) dst[ch] += wts[k] * col[ch];
+      dst[c] += wts[k] * cosang;
+    }
+  }
+  // skip check: fraction of this view's positive-cos texels already painted
+  int64_t view_sum = 0, painted = 0;
+  for (int64_t t = 0; t < (int64_t)th * tw; ++t) {
+    if (cnt[t] <= 0.f) continue;
+    float cosm = acc[t * cc + c] / std::max(cnt[t], 1e-8f);
+    if (cosm > 0.f) {
+      ++view_sum;
+      if (trust[t] > 0.f) ++painted;
+    }
+  }
+  if (view_sum > 0 && (double)painted / (double)view_sum > 0.99) return 0;
+  for (int64_t t = 0; t < (int64_t)th * tw; ++t) {
+    if (cnt[t] <= 0.f) continue;
+    float inv = 1.f / std::max(cnt[t], 1e-8f);
+    float cosm = acc[t * cc + c] * inv;
+    float cw = weight * std::pow(cosm, expnt);
+    if (!(cw > 0.f)) continue;
+    float* dst = tex_merge + t * c;
+    for (int ch = 0; ch < c; ++ch) dst[ch] += acc[t * cc + ch] * inv * cw;
+    trust[t] += cw;
+  }
+  return 1;
 }
 
 // ---------------------------------------------------------------------------

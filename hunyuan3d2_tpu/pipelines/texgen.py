@@ -91,16 +91,33 @@ class Hunyuan3DPaintPipeline:
 
     # -- stages ---------------------------------------------------------------------
     def recenter_image(self, image, border_ratio: float = 0.2):
-        """Parity: texgen/pipelines.py:168-200 (alpha-bbox recenter)."""
+        """Parity: texgen/pipelines.py:168-200 — crop to the alpha bbox, pad
+        each side by border_ratio of the cropped dim, paste centered on a
+        square transparent canvas (no resampling)."""
         from PIL import Image
 
-        from hunyuan3d2_tpu.utils.imageproc import recenter_rgba, _to_rgba_array
+        if not isinstance(image, Image.Image):
+            image = Image.fromarray(np.asarray(image))
+        if image.mode == "RGB":
+            return image
+        if image.mode == "L":
+            return image.convert("RGB")
+        image = image.convert("RGBA")
 
-        rgba = _to_rgba_array(image)
-        if rgba[..., 3].min() == 255:  # no alpha info: keep as-is
-            return Image.fromarray(rgba[..., :3])
-        out = recenter_rgba(rgba, max(rgba.shape[:2]), border_ratio / 2)
-        return Image.fromarray(out)
+        alpha = np.asarray(image)[:, :, 3]
+        nz = np.argwhere(alpha > 0)
+        if nz.size == 0:
+            raise ValueError("Image is fully transparent")
+        min_row, min_col = nz.min(axis=0)
+        max_row, max_col = nz.max(axis=0)
+        cropped = image.crop((min_col, min_row, max_col + 1, max_row + 1))
+        width, height = cropped.size
+        bw, bh = int(width * border_ratio), int(height * border_ratio)
+        square = max(width + 2 * bw, height + 2 * bh)
+        canvas = Image.new("RGBA", (square, square), (255, 255, 255, 0))
+        canvas.paste(cropped, ((square - width - 2 * bw) // 2 + bw,
+                               (square - height - 2 * bh) // 2 + bh))
+        return canvas
 
     def render_normal_multiview(self, camera_elevs, camera_azims,
                                 use_abs_coor=True, resolution=None):
@@ -128,15 +145,13 @@ class Hunyuan3DPaintPipeline:
 
     def bake_from_multiview(self, views, camera_elevs, camera_azims, view_weights,
                             method: str = "fast"):
-        """Parity: texgen/pipelines.py:141-159."""
-        textures, cos_maps = [], []
-        for view, elev, azim, weight in zip(views, camera_elevs, camera_azims,
-                                            view_weights):
-            texture, cos_map, _ = self.render.back_project(view, elev, azim)
-            cos_maps.append(weight * (cos_map ** self.config.bake_exp))
-            textures.append(texture)
+        """Parity: texgen/pipelines.py:141-159. Uses the fused incremental
+        merge (identical math to back_project×N → fast_bake_texture, without
+        retaining per-view full-res maps)."""
         if method == "fast":
-            return self.render.fast_bake_texture(textures, cos_maps)
+            return self.render.bake_texture_fused(
+                views, camera_elevs, camera_azims,
+                exp=self.config.bake_exp, weights=list(view_weights))
         raise ValueError(f"no method {method}")
 
     def texture_inpaint(self, texture: np.ndarray, mask: np.ndarray):

@@ -110,3 +110,28 @@ def test_back_project_and_bake_roundtrip():
     full = r.uv_inpaint(tex, (trust * 255).astype(np.uint8))
     assert full.dtype == np.uint8
     assert (full[..., 0] > 200).mean() > 0.9
+
+
+def test_bake_texture_fused_matches_retained_merge():
+    """bake_texture_fused (one native mask+splat+merge pass per view) must be
+    numerically identical to back_project×N → fast_bake_texture."""
+    m = mesh_uv_wrap(_sphere_mesh())
+    r = MeshRender(default_resolution=160, texture_size=96)
+    r.load_mesh(m)
+    views = [(0, 0), (0, 90), (0, 180), (0, 270), (90, 0), (-90, 180)]
+    rng = np.random.RandomState(0)
+    colors = [rng.rand(160, 160, 3).astype(np.float32) for _ in views]
+    weights = [1, 0.1, 0.5, 0.1, 0.05, 0.05]
+
+    textures, cos_maps = [], []
+    for img, (e, a), w in zip(colors, views, weights):
+        t, c, _ = r.back_project(img, e, a)
+        textures.append(t.copy())
+        cos_maps.append(w * (c ** 4))
+    ref_tex, ref_mask = r.fast_bake_texture(textures, cos_maps)
+
+    fus_tex, fus_mask = r.bake_texture_fused(
+        colors, [e for e, _ in views], [a for _, a in views],
+        exp=4, weights=weights)
+    np.testing.assert_allclose(fus_tex, ref_tex, atol=1e-4)
+    assert (fus_mask == ref_mask).all()
