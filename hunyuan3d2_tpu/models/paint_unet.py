@@ -328,8 +328,10 @@ def unet_apply(params, cfg: PaintUNetConfig, sample: Array, t: Array,
                                    ref_scale, mva_scale, mva_masks)
             residuals.append(x)
         if "downsample" in blk:
-            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-            x = Conv2d.apply(blk["downsample"], x, stride=2, padding="VALID")
+            # diffusers UNet Downsample2D uses SYMMETRIC padding=1 (unlike
+            # the VAE encoder's asymmetric (0,1,0,1) pad)
+            x = Conv2d.apply(blk["downsample"], x, stride=2,
+                             padding=((1, 1), (1, 1)))
             residuals.append(x)
 
     x = ResnetBlock.apply(params["mid"]["res1"], x, temb, g, eps=1e-5)
