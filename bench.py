@@ -110,6 +110,10 @@ def main():
 
     shape_sec = device_sec + host_sec
 
+    import sys
+
+    print(f"[bench] shape done: {shape_sec:.2f}s", file=sys.stderr, flush=True)
+
     # ---------------- texture stage (production scale, warm) ----------------
     texture_sec = None
     try:
@@ -126,21 +130,23 @@ def main():
             render_size=2048, texture_size=2048, num_inference_steps=5)
         paint.models["multiview_model"].pipeline.set_turbo(True)
 
-        base_mesh = Mesh(out.mesh_v, out.mesh_f)
-
-        def run_texture():
-            m = FloaterRemover()(base_mesh)
-            m = DegenerateFaceRemover()(m)
-            m = FaceReducer()(m, max_facenum=40000)
-            return paint(m, image)
-
-        run_texture()  # warmup (compiles UNet/VAE at production shapes)
+        # postprocess happens once per mesh in the production flow
+        # (api_server.py:215-219); timed once, not per paint warmup
         t0 = time.perf_counter()
-        tex_mesh = run_texture()
-        texture_sec = time.perf_counter() - t0
+        m = FloaterRemover()(Mesh(out.mesh_v, out.mesh_f))
+        m = DegenerateFaceRemover()(m)
+        m = FaceReducer()(m, max_facenum=40000)
+        postprocess_sec = time.perf_counter() - t0
+        print(f"[bench] postprocess done: {postprocess_sec:.2f}s",
+              file=sys.stderr, flush=True)
+
+        paint(m, image)  # warmup (compiles UNet/VAE at production shapes)
+        print("[bench] paint warmup done", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        tex_mesh = paint(m, image)
+        texture_sec = postprocess_sec + (time.perf_counter() - t0)
         assert tex_mesh is not None
-    except Exception as e:  # pragma: no cover — report shape-only on failure
-        import sys
+    except Exception:  # pragma: no cover — report shape-only on failure
         import traceback
 
         traceback.print_exc(file=sys.stderr)

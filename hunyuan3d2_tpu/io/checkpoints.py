@@ -452,11 +452,34 @@ def load_pipeline_single_file(cls, ckpt_path: str, config_path: str,
     enc_cfg = cond_lib.DinoEncoderConfig(dino=dcfg, image_size=dcfg.image_size)
     dino_params = map_dinov2(cond_sd, dcfg, dtype, prefix="main_image_encoder.model.")
     target = str((config.get("conditioner") or {}).get("target", ""))
-    if "MV" in target or "mv" in (config.get("name") or ""):
+    main_type = str((cp.get("main_image_encoder") or {}).get("type", ""))
+    if "MV" in target or "MV" in main_type or "mv" in (config.get("name") or ""):
         main = cond_lib.DinoImageEncoderMV(dino_params, enc_cfg)
     else:
         main = cond_lib.DinoImageEncoder(dino_params, enc_cfg)
-    conditioner = cond_lib.SingleImageEncoder(main)
+    add_cfg_dict = cp.get("additional_image_encoder") or {}
+    if "DualImageEncoder" in target or add_cfg_dict:
+        # v2-0 standard checkpoints: additional CLIP tower
+        # (reference conditioner.py:214, build_image_encoder :203)
+        from hunyuan3d2_tpu.models import clip_vit
+
+        ak = add_cfg_dict.get("kwargs") or {}
+        ac = ak.get("config") or {}
+        ccfg = clip_vit.CLIPVisionConfig(
+            hidden_size=ac.get("hidden_size", 1024),
+            num_layers=ac.get("num_hidden_layers", 24),
+            num_heads=ac.get("num_attention_heads", 16),
+            patch_size=ac.get("patch_size", 14),
+            image_size=ak.get("image_size", 224),
+            intermediate_size=ac.get("intermediate_size", 4096),
+        )
+        clip_params = map_clip_vit(
+            cond_sd, ccfg, _resolve_dtype(dtype),
+            prefix="additional_image_encoder.model.vision_model.")
+        additional = clip_vit.CLIPImageEncoder(clip_params, ccfg)
+        conditioner = cond_lib.DualImageEncoder(main, additional)
+    else:
+        conditioner = cond_lib.SingleImageEncoder(main)
 
     st = str((config.get("scheduler") or {}).get("target", "FlowMatchEulerDiscreteScheduler"))
     sp = params_of("scheduler")

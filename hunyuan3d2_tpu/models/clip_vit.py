@@ -141,6 +141,14 @@ class CLIPImageEncoder:
             out = out[:, 1:]
         return out
 
+    def preprocess(self, image_m11) -> Array:
+        """[-1,1] [B,H,W,3] numpy → CLIP-normalized pixels at this tower's
+        resolution (parity: CLIPImageEncoder transform, conditioner.py:120-125)."""
+        from hunyuan3d2_tpu.utils.imageproc import clip_transform
+
+        return jnp.asarray(clip_transform(image_m11, self.cfg.image_size),
+                           jnp.bfloat16)
+
     def unconditional(self, batch: int, num_views: int = 1) -> Array:
         l = self.cfg.seq_len if self.use_cls_token else self.cfg.num_patches
         return jnp.zeros((batch, l * num_views, self.cfg.hidden_size), jnp.bfloat16)

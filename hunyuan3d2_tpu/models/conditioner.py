@@ -54,6 +54,14 @@ class DinoImageEncoder:
             out = out[:, 1:]
         return out
 
+    def preprocess(self, image_m11) -> Array:
+        """[-1,1] [B,H,W,3] numpy → normalized pixel values at this tower's
+        resolution (parity: the per-encoder transform, conditioner.py:80-89)."""
+        from hunyuan3d2_tpu.utils.imageproc import dino_transform
+
+        return jnp.asarray(dino_transform(image_m11, self.cfg.image_size),
+                           jnp.bfloat16)
+
     def unconditional(self, batch: int, num_views: int = 1) -> Array:
         """Zero-token unconditional embedding [B, L, hidden] (parity:
         conditioner.py:106-117 — a zeros tensor, NOT an encoded zero image)."""
@@ -95,14 +103,27 @@ class SingleImageEncoder:
     def __call__(self, image: Array, **kwargs) -> dict:
         return {"main": self.main.encode(image)}
 
+    def encode_image(self, image_m11, view_idxs=None) -> dict:
+        """[-1,1] numpy image(s) → per-tower token streams, each tower using
+        its OWN transform (dino 518 / clip 224; conditioner.py:80-89)."""
+        if view_idxs is not None:
+            b, v = image_m11.shape[:2]
+            flat = image_m11.reshape((b * v,) + image_m11.shape[2:])
+            pixel = self.main.preprocess(flat)
+            pixel = pixel.reshape((b, v) + pixel.shape[1:])
+            return {"main": self.main.encode_views(pixel, view_idxs[0])}
+        return {"main": self.main.encode(self.main.preprocess(image_m11))}
+
     def unconditional(self, batch: int, num_views: int = 1) -> dict:
         return {"main": self.main.unconditional(batch, num_views)}
 
 
 class DualImageEncoder(SingleImageEncoder):
-    """Parity: conditioner.py:214 — main (Dino) + additional (CLIP) encoder.
-    The CLIP tower is an optional second ViT; checkpoints for it ship with the
-    original v2-0 config. Until those weights are ingested this raises."""
+    """Parity: conditioner.py:214 — main (Dino) + additional (CLIP) towers,
+    each with its own transform; returns {'main', 'additional'} streams and
+    zero-token unconditional embeddings for both. (The Hunyuan3D-DiT forward
+    consumes contexts['main']; the additional stream is produced for parity
+    with the v2-0 checkpoints' conditioner contract.)"""
 
     def __init__(self, main_image_encoder, additional_image_encoder=None):
         super().__init__(main_image_encoder)
@@ -116,4 +137,25 @@ class DualImageEncoder(SingleImageEncoder):
                 "provide additional_image_encoder."
             )
         out["additional"] = self.additional.encode(image)
+        return out
+
+    def encode_image(self, image_m11, view_idxs=None) -> dict:
+        if self.additional is None:
+            raise NotImplementedError(
+                "DualImageEncoder requires the additional (CLIP) tower; "
+                "provide additional_image_encoder."
+            )
+        out = super().encode_image(image_m11, view_idxs)
+        flat = image_m11
+        if view_idxs is not None:
+            b, v = image_m11.shape[:2]
+            flat = image_m11.reshape((b * v,) + image_m11.shape[2:])
+        out["additional"] = self.additional.encode(
+            self.additional.preprocess(flat))
+        return out
+
+    def unconditional(self, batch: int, num_views: int = 1) -> dict:
+        out = super().unconditional(batch, num_views)
+        if self.additional is not None:
+            out["additional"] = self.additional.unconditional(batch, num_views)
         return out

@@ -28,7 +28,7 @@ from hunyuan3d2_tpu.models import conditioner as conditioner_lib
 from hunyuan3d2_tpu.models import dit as dit_lib
 from hunyuan3d2_tpu.models import shapevae as vae_lib
 from hunyuan3d2_tpu.pipelines import schedulers as sched_lib
-from hunyuan3d2_tpu.utils.imageproc import ImageProcessorV2, dino_transform
+from hunyuan3d2_tpu.utils.imageproc import ImageProcessorV2
 from hunyuan3d2_tpu.utils.logger import get_logger
 from hunyuan3d2_tpu.utils.timer import timed_scope
 
@@ -179,29 +179,21 @@ class Hunyuan3DDiTPipeline:
     def encode_cond(self, image_nhwc: np.ndarray, do_cfg: bool, view_idxs=None):
         """image_nhwc [-1,1] → conditioner tokens; CFG doubles the batch with
         the zero-token uncond embedding, [cond | uncond] order (parity:
-        pipelines.py:419-451)."""
-        if view_idxs is not None:
-            b, v = image_nhwc.shape[:2]
-            flat = image_nhwc.reshape((b * v,) + image_nhwc.shape[2:])
-            pixel = dino_transform(flat, image_size=self.conditioner.main.cfg.image_size)
-            pixel = jnp.asarray(pixel, jnp.bfloat16)
-            pixel = pixel.reshape((b, v) + pixel.shape[1:])
-            tokens = self.conditioner.main.encode_views(pixel, view_idxs[0])
-        else:
-            pixel = dino_transform(image_nhwc,
-                                   image_size=self.conditioner.main.cfg.image_size)
-            tokens = self.conditioner.main.encode(jnp.asarray(pixel, jnp.bfloat16))
-            # NOTE on DualImageEncoder: the reference encodes an additional
-            # CLIP stream (conditioner.py:214) but the DiT forward consumes
-            # only contexts['main'] (hunyuan3ddit.py:388) — so the main
-            # stream alone is what conditions generation here too. The CLIP
-            # tower (models/clip_vit.py + clip_transform) is available for
-            # model variants that consume it.
+        pipelines.py:419-451). Every tower of the conditioner is encoded with
+        its OWN transform (Dual: dino 518 + clip 224, conditioner.py:80-89);
+        the DiT consumes the 'main' stream (hunyuan3ddit.py:388), and any
+        additional streams are kept on ``self.last_cond_streams`` for model
+        variants that consume them."""
+        streams = self.conditioner.encode_image(image_nhwc, view_idxs)
         if do_cfg:
             num_views = len(view_idxs[0]) if view_idxs is not None else 1
-            uncond = self.conditioner.main.unconditional(tokens.shape[0], num_views)
-            tokens = jnp.concatenate([tokens, uncond.astype(tokens.dtype)], axis=0)
-        return tokens
+            uncond = self.conditioner.unconditional(
+                streams["main"].shape[0], num_views)
+            streams = {k: jnp.concatenate(
+                [v, uncond[k].astype(v.dtype)], axis=0)
+                for k, v in streams.items()}
+        self.last_cond_streams = streams
+        return streams["main"]
 
     def prepare_latents(self, batch_size: int, key) -> jax.Array:
         shape = (batch_size, self.vae.cfg.num_latents, self.vae.cfg.embed_dim)
