@@ -503,15 +503,42 @@ void hy3d_simplify(const float* verts, int64_t nv, const int32_t* faces,
       }
     }
   };
-  for (int64_t v = 0; v < nv; ++v) push_edges_of((int32_t)v);
+  // initial heap: each undirected edge exactly once (push_edges_of would
+  // enqueue every edge up to 4× — 2 faces × 2 endpoint scans)
+  {
+    std::vector<int64_t> ekeys;
+    ekeys.reserve(nf * 3);
+    for (int64_t f = 0; f < nf; ++f)
+      for (int k = 0; k < 3; ++k) {
+        int32_t a = F[3 * f + k], b = F[3 * f + (k + 1) % 3];
+        if (a == b) continue;
+        if (a > b) std::swap(a, b);
+        ekeys.push_back(((int64_t)a << 32) | (uint32_t)b);
+      }
+    std::sort(ekeys.begin(), ekeys.end());
+    ekeys.erase(std::unique(ekeys.begin(), ekeys.end()), ekeys.end());
+    for (int64_t key : ekeys) {
+      int32_t a = (int32_t)(key >> 32), b = (int32_t)(key & 0xffffffff);
+      double opt[3];
+      double c = edge_cost(a, b, opt);
+      heap.push({c, a, b, version[a] + version[b]});
+    }
+  }
 
-  int64_t live_faces = nf;
   auto face_alive = [&](int64_t f) {
     int32_t a = find(F[3 * f]), b = find(F[3 * f + 1]), c = find(F[3 * f + 2]);
     return a != b && b != c && a != c;
   };
+  // exact live-face tracking: a face can only die when one of its vertices
+  // is merged, and every such face is in the merged list of the collapse —
+  // no periodic full recount (the old 512-collapse rescan dominated runtime)
+  std::vector<uint8_t> alive(nf, 0);
+  int64_t live_faces = 0;
+  for (int64_t f = 0; f < nf; ++f) {
+    alive[f] = face_alive(f) ? 1 : 0;
+    live_faces += alive[f];
+  }
 
-  int64_t tick = 0;
   while (live_faces > target_faces && !heap.empty()) {
     HeapEdge e = heap.top();
     heap.pop();
@@ -531,33 +558,26 @@ void hy3d_simplify(const float* verts, int64_t nv, const int32_t* faces,
     version[a]++;
     version[b]++;
 
-    // merge face lists, count dead faces
-    for (int32_t f : vfaces[b]) vfaces[a].push_back(f);
-    vfaces[b].clear();
+    // merge face lists (dedup), retire newly-degenerate faces exactly
+    auto& la = vfaces[a];
+    auto& lb = vfaces[b];
+    la.insert(la.end(), lb.begin(), lb.end());
+    lb.clear();
+    lb.shrink_to_fit();
+    std::sort(la.begin(), la.end());
+    la.erase(std::unique(la.begin(), la.end()), la.end());
     std::vector<int32_t> keep;
-    keep.reserve(vfaces[a].size());
-    int64_t died = 0;
-    std::vector<uint8_t> dedup;
-    for (int32_t f : vfaces[a]) {
+    keep.reserve(la.size());
+    for (int32_t f : la) {
+      if (!alive[f]) continue;
       if (!face_alive(f)) {
-        ++died;
+        alive[f] = 0;
+        --live_faces;
         continue;
       }
       keep.push_back(f);
     }
-    std::sort(keep.begin(), keep.end());
-    keep.erase(std::unique(keep.begin(), keep.end()), keep.end());
-    // recount death properly: faces are shared, avoid double counting by a
-    // global recount every collapse being too slow; track via alive scan diff
-    vfaces[a] = std::move(keep);
-    (void)died;
-    // recompute live_faces lazily every 512 collapses
-    if ((++tick & 511) == 0) {
-      live_faces = 0;
-      for (int64_t f = 0; f < nf; ++f) live_faces += face_alive(f) ? 1 : 0;
-    } else {
-      live_faces -= 2;  // typical manifold edge collapse kills 2 faces
-    }
+    la = std::move(keep);
     push_edges_of(a);
   }
 
