@@ -101,9 +101,30 @@ class Mesh:
             self._export_ply(path)
         elif p.endswith(".glb"):
             self._export_glb(path)
+        elif p.endswith(".stl"):
+            self._export_stl(path)
         else:
             raise ValueError(f"unsupported mesh format: {path}")
         return path
+
+    def _export_stl(self, path: str):
+        """Binary STL (84-byte header + 50 bytes/triangle; geometry only)."""
+        import struct
+
+        v = np.asarray(self.vertices, np.float32)
+        f = np.asarray(self.faces, np.int64)
+        tri = v[f]                                       # [F, 3, 3]
+        n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        n = n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+        with open(path, "wb") as fh:
+            fh.write(b"hy3d binary stl".ljust(80, b"\0"))
+            fh.write(struct.pack("<I", len(f)))
+            payload = np.empty((len(f),), dtype=[("n", "<3f4"), ("v", "<9f4"),
+                                                 ("attr", "<u2")])
+            payload["n"] = n.astype("<f4")
+            payload["v"] = tri.reshape(len(f), 9).astype("<f4")
+            payload["attr"] = 0
+            fh.write(payload.tobytes())
 
     def _export_obj(self, path: str):
         lines = []
