@@ -266,6 +266,38 @@ class MeshRender:
         return self._ret(np.concatenate([img, mask.astype(np.float32)], -1),
                          return_type)
 
+    def render_normal_position(self, elev, azim, camera_distance=None,
+                               center=None, resolution=None, bg_color=(1, 1, 1),
+                               normalize_rgb=True):
+        """One fused raster+interp pass producing BOTH the world-normal map
+        (use_abs_coor semantics) and the [0,1] position map — the texgen
+        cond-map stage renders 6 views × 2 maps; fusing halves the raster
+        work on the single host core."""
+        from hunyuan3d2_tpu import native
+
+        resolution = resolution or self.default_resolution
+        h, w = (resolution, resolution) if isinstance(resolution, int) \
+            else resolution
+        _, mvp = self._mvp(elev, azim, camera_distance, center)
+        clip = cam.transform_pos(mvp, self.vtx_pos)
+        vn = self._vertex_normals()
+        attrs = np.concatenate([vn, self.vtx_pos * 0.5 + 0.5], axis=1)
+        fid, _, _, amap = native.rasterize_interp(clip, self.pos_idx, attrs,
+                                                  h, w)
+        amap[fid < 0] = 0
+        mask = (fid >= 0)[..., None]
+        nrm, pos = amap[..., :3], amap[..., 3:6]
+        lens = np.linalg.norm(nrm, axis=-1, keepdims=True)
+        nrm = nrm / np.maximum(lens, 1e-12)
+        if normalize_rgb:
+            nrm = (nrm + 1.0) * 0.5
+        bg = np.asarray(bg_color, np.float32)
+        nrm = nrm * mask + bg * (1 - mask)
+        pos = pos * mask + bg * (1 - mask)
+        maskf = mask.astype(np.float32)
+        return (np.concatenate([nrm, maskf], -1),
+                np.concatenate([pos, maskf], -1))
+
     def render_depth(self, elev, azim, camera_distance=None, center=None,
                      resolution=None, return_type="np"):
         resolution = resolution or self.default_resolution
@@ -485,11 +517,16 @@ class MeshRender:
         cos_thres = np.cos(self.bake_angle_thres / 180 * np.pi)
         ksize = self.bake_unreliable_kernel_size * 2 + 1
         for color, elev, azim, weight in zip(colors, elevs, azims, weights):
-            image = np.asarray(color)
-            if image.dtype == np.uint8:
-                image = image.astype(np.float32) / 255.0
-            if image.ndim == 2:
-                image = image[..., None]
+            raw = np.asarray(color)
+            if raw.ndim == 2:
+                raw = raw[..., None]
+            if raw.dtype == np.uint8:
+                # reuse the conversion buffer: fresh ~50 MB fp32 per view
+                # costs ~0.5 s in first-touch faults on this host
+                image = _buf(bufs, "bk_img", raw.shape, np.float32)
+                np.multiply(raw, np.float32(1.0 / 255.0), out=image)
+            else:
+                image = raw.astype(np.float32, copy=False)
             h, w = image.shape[:2]
             if tex_merge is None:
                 tex_merge = np.zeros((th, tw, image.shape[-1]), np.float32)
@@ -532,9 +569,14 @@ class MeshRender:
         return tex_merge, trust[..., None] > 1e-8
 
     def uv_inpaint(self, texture, mask: np.ndarray) -> np.ndarray:
-        """Vertex-graph inpaint (native) + cv2 Navier-Stokes inpaint
-        (parity: mesh_render.py:800-823)."""
-        import cv2
+        """Vertex-graph inpaint (native) + hole fill (parity:
+        mesh_render.py:800-823 — vertex inpaint then cv2 INPAINT_NS).
+
+        The final diffusion fill defaults to the native O(N) push-pull
+        pyramid (~60 ms at 2048² vs seconds for Navier-Stokes on large
+        atlases; the filled texels are unseen/seam background). Set
+        HY3D_EXACT_INPAINT=1 for the reference's exact cv2.INPAINT_NS."""
+        import os
 
         from hunyuan3d2_tpu import native
 
@@ -542,9 +584,13 @@ class MeshRender:
         vtx_pos, pos_idx, vtx_uv, uv_idx = self.get_mesh()
         texture, mask = native.vertex_inpaint(texture, mask.astype(np.uint8),
                                               vtx_pos, vtx_uv, pos_idx, uv_idx)
-        texture = cv2.inpaint((texture * 255).astype(np.uint8), 255 - mask, 3,
-                              cv2.INPAINT_NS)
-        return texture
+        if os.environ.get("HY3D_EXACT_INPAINT", "0") == "1":
+            import cv2
+
+            return cv2.inpaint((texture * 255).astype(np.uint8), 255 - mask,
+                               3, cv2.INPAINT_NS)
+        filled = native.pushpull_fill(texture, mask)
+        return (np.clip(filled, 0, 1) * 255).astype(np.uint8)
 
     # -- misc -------------------------------------------------------------------------
     def save_mesh(self) -> Mesh:

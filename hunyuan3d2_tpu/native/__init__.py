@@ -51,6 +51,8 @@ def get_lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
         ctypes.c_float, f32p, f32p]
     lib.hy3d_bake_view.restype = ctypes.c_int
+    lib.hy3d_pushpull_fill.argtypes = [f32p, u8p, ctypes.c_int, ctypes.c_int,
+                                       ctypes.c_int]
     lib.hy3d_face_components.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64, i32p]
     lib.hy3d_face_components.restype = ctypes.c_int32
     lib.hy3d_simplify.argtypes = [f32p, ctypes.c_int64, i32p, ctypes.c_int64,
@@ -150,6 +152,17 @@ def bake_view(amap: np.ndarray, fid: np.ndarray, image: np.ndarray,
         float(cos_thres), h, w, c, th, tw, float(weight), float(exp),
         tex_merge, trust)
     return bool(merged)
+
+
+def pushpull_fill(texture: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """O(N) pyramid hole fill for texture atlases: known texels (mask=255)
+    are kept bit-exact; unknowns take valid-weighted coarse averages."""
+    lib = get_lib()
+    texture = np.ascontiguousarray(texture, np.float32)
+    mask = np.ascontiguousarray(mask, np.uint8)
+    h, w, c = texture.shape
+    lib.hy3d_pushpull_fill(texture, mask, h, w, c)
+    return texture
 
 
 def vertex_inpaint(texture: np.ndarray, mask: np.ndarray, vtx_pos: np.ndarray,

@@ -351,6 +351,86 @@ int hy3d_bake_view(const float* amap, const int32_t* fid, const float* image,
   return 1;
 }
 
+// Push-pull pyramid hole fill: build a valid-weighted mip pyramid (push),
+// then fill unknown texels from coarser levels (pull). O(N) replacement for
+// the slow diffusion inpaint on large texture atlases; texels under the mask
+// keep their exact values.
+//   texture: [h,w,c] fp32 in/out; mask: [h,w] uint8 (255 = known)
+void hy3d_pushpull_fill(float* texture, const uint8_t* mask, int h, int w,
+                        int c) {
+  // level 0 buffers: color premultiplied by weight
+  std::vector<std::vector<float>> lv_col;
+  std::vector<std::vector<float>> lv_wgt;
+  std::vector<int> lh{h}, lw{w};
+  lv_col.emplace_back((size_t)h * w * c);
+  lv_wgt.emplace_back((size_t)h * w);
+  {
+    auto& col = lv_col[0];
+    auto& wgt = lv_wgt[0];
+#pragma omp parallel for schedule(static)
+    for (int64_t p = 0; p < (int64_t)h * w; ++p) {
+      float m = mask[p] ? 1.f : 0.f;
+      wgt[p] = m;
+      for (int ch = 0; ch < c; ++ch) col[p * c + ch] = texture[p * c + ch] * m;
+    }
+  }
+  // push: 2x downsample of premultiplied color + weight
+  while (lh.back() > 1 || lw.back() > 1) {
+    int ph = lh.back(), pw = lw.back();
+    int nh = std::max(1, ph / 2), nw = std::max(1, pw / 2);
+    lv_col.emplace_back((size_t)nh * nw * c, 0.f);
+    lv_wgt.emplace_back((size_t)nh * nw, 0.f);
+    auto& pc = lv_col[lv_col.size() - 2];
+    auto& pwt = lv_wgt[lv_wgt.size() - 2];
+    auto& ncl = lv_col.back();
+    auto& nwt = lv_wgt.back();
+    for (int y = 0; y < nh; ++y)
+      for (int x = 0; x < nw; ++x) {
+        for (int dy = 0; dy < 2; ++dy)
+          for (int dx = 0; dx < 2; ++dx) {
+            int sy = std::min(2 * y + dy, ph - 1), sx = std::min(2 * x + dx, pw - 1);
+            nwt[(size_t)y * nw + x] += pwt[(size_t)sy * pw + sx];
+            for (int ch = 0; ch < c; ++ch)
+              ncl[((size_t)y * nw + x) * c + ch] +=
+                  pc[((size_t)sy * pw + sx) * c + ch];
+          }
+      }
+    lh.push_back(nh);
+    lw.push_back(nw);
+    if (nh == 1 && nw == 1) break;
+  }
+  // pull: fill unknowns from the parent level (bilinear-ish nearest parent)
+  for (int l = (int)lh.size() - 2; l >= 0; --l) {
+    int ph = lh[l + 1], pw = lw[l + 1];
+    int ch_ = lh[l], cw = lw[l];
+    auto& par_c = lv_col[l + 1];
+    auto& par_w = lv_wgt[l + 1];
+    auto& cur_c = lv_col[l];
+    auto& cur_w = lv_wgt[l];
+#pragma omp parallel for schedule(static)
+    for (int64_t p = 0; p < (int64_t)ch_ * cw; ++p) {
+      if (cur_w[p] > 0.f) continue;
+      int y = (int)(p / cw), x = (int)(p % cw);
+      int sy = std::min(y / 2, ph - 1), sx = std::min(x / 2, pw - 1);
+      float wgt = par_w[(size_t)sy * pw + sx];
+      if (wgt <= 0.f) continue;
+      for (int chn = 0; chn < c; ++chn)
+        cur_c[p * c + chn] = par_c[((size_t)sy * pw + sx) * c + chn] / wgt;
+      cur_w[p] = 1.f;
+    }
+  }
+  // write back only unknown texels (normalize premultiplied values)
+  auto& col = lv_col[0];
+  auto& wgt = lv_wgt[0];
+#pragma omp parallel for schedule(static)
+  for (int64_t p = 0; p < (int64_t)h * w; ++p) {
+    if (mask[p]) continue;
+    float iw = wgt[p] > 0.f ? 1.f : 0.f;
+    for (int chn = 0; chn < c; ++chn)
+      texture[p * c + chn] = col[p * c + chn] * iw;
+  }
+}
+
 // ---------------------------------------------------------------------------
 // Connected components over the face graph (shared-vertex adjacency).
 // labels: [nf] int32 component id; returns number of components.

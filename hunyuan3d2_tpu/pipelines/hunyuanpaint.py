@@ -60,6 +60,28 @@ def _pil_to_array01(img, size: Optional[int] = None) -> np.ndarray:
     return arr
 
 
+def _pil_to_array_u8(img, size: Optional[int] = None) -> np.ndarray:
+    """uint8 RGB host array — 4x less tunnel upload than fp32; the /255
+    normalization happens on device (encode_images)."""
+    from PIL import Image
+
+    if isinstance(img, Image.Image):
+        if size is not None and img.size != (size, size):
+            img = img.resize((size, size), Image.BILINEAR)
+        arr = np.asarray(img)
+    else:
+        arr = np.asarray(img)
+        if arr.dtype != np.uint8:
+            arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, -1)
+    if arr.shape[-1] == 4:
+        a = arr[..., 3:].astype(np.uint32)
+        rgb = (arr[..., :3].astype(np.uint32) * a + 255 * (255 - a)) // 255
+        arr = rgb.astype(np.uint8)
+    return arr
+
+
 @functools.partial(jax.jit, static_argnames=("ucfg", "vcfg", "do_cfg", "guidance_scale"))
 def _denoise_loop(unet_params, ucfg, vae_params, vcfg, key,
                   ref_latents, normal_latents, position_latents,
@@ -109,7 +131,9 @@ def _denoise_loop(unet_params, ucfg, vae_params, vcfg, key,
 
     (latents, _), _ = jax.lax.scan(body, (latents, key), jnp.arange(n_steps))
     images = sd_vae.decode(vae_params, vcfg, latents[0].astype(jnp.bfloat16))
-    return images  # [n_gen, H, W, 3] in [-1, 1]
+    # quantize ON DEVICE: uint8 crosses the tunnel (4x less than fp32)
+    img01 = jnp.clip(images.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+    return jnp.round(img01 * 255.0).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("ucfg", "vcfg"))
@@ -150,7 +174,8 @@ def _denoise_loop_lcm(unet_params, ucfg, vae_params, vcfg, key,
 
     (latents, _), _ = jax.lax.scan(body, (latents, key), jnp.arange(n_steps))
     images = sd_vae.decode(vae_params, vcfg, latents[0].astype(jnp.bfloat16))
-    return images
+    img01 = jnp.clip(images.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+    return jnp.round(img01 * 255.0).astype(jnp.uint8)
 
 
 class HunyuanPaintPipeline:
@@ -182,11 +207,14 @@ class HunyuanPaintPipeline:
 
     # -- encoding ---------------------------------------------------------------
     def encode_images(self, images01: np.ndarray) -> jax.Array:
-        """[B, N, H, W, 3] in [0,1] → scaled latents [B, N, h, w, 4]
-        (parity: pipeline.py:232-244 — ×2−1 then VAE encode mode)."""
+        """[B, N, H, W, 3] in [0,1] fp or uint8 → scaled latents
+        [B, N, h, w, 4] (parity: pipeline.py:232-244 — ×2−1 then VAE encode
+        mode). uint8 input normalizes ON DEVICE (cheap tunnel upload)."""
         b, n = images01.shape[:2]
-        flat = jnp.asarray(images01.reshape((b * n,) + images01.shape[2:]),
-                           jnp.bfloat16) * 2.0 - 1.0
+        flat = jnp.asarray(images01.reshape((b * n,) + images01.shape[2:]))
+        if flat.dtype == jnp.uint8:
+            flat = flat.astype(jnp.bfloat16) / 255.0
+        flat = flat.astype(jnp.bfloat16) * 2.0 - 1.0
         lat = sd_vae.encode(self.vae_params, self.vae_cfg, flat)
         return lat.reshape((b, n) + lat.shape[1:]).astype(jnp.float32)
 
@@ -204,11 +232,12 @@ class HunyuanPaintPipeline:
 
         if not isinstance(image, list):
             image = [image]
-        ref01 = np.stack([_pil_to_array01(to_rgb_image(im), size) for im in image])[None]
+        ref01 = np.stack([_pil_to_array_u8(to_rgb_image(im), size)
+                          for im in image])[None]
 
         def _stack_views(lst):
             views = lst[0] if isinstance(lst[0], list) else lst
-            return np.stack([_pil_to_array01(v, size) for v in views])[None]
+            return np.stack([_pil_to_array_u8(v, size) for v in views])[None]
 
         normal01 = _stack_views(normal_imgs)
         position01 = _stack_views(position_imgs)
@@ -228,25 +257,24 @@ class HunyuanPaintPipeline:
             # voxel-locality multiview attention masks (parity:
             # hunyuanpaint/pipeline.py:334-339 turbo path)
             mva_masks = {}
-            pos_maps = jnp.asarray(position01, jnp.float32)
+            pos_maps = jnp.asarray(position01).astype(jnp.float32) / 255.0
             for g in (32, 16, 8):
                 if pos_maps.shape[2] % g == 0:
                     m = paint_unet.compute_voxel_grid_mask(pos_maps, g)
                     mva_masks[int(m.shape[1])] = m
             with timed_scope("Paint Denoising (turbo)"):
-                images = _denoise_loop_lcm(
+                images_u8 = _denoise_loop_lcm(
                     self.unet_params, self.unet_cfg, self.vae_params, self.vae_cfg,
                     key, ref_latents.astype(jnp.bfloat16),
                     normal_latents.astype(jnp.bfloat16),
                     position_latents.astype(jnp.bfloat16),
                     cam_gen, cam_ref, jnp.asarray(timesteps), jnp.asarray(ac),
                     mva_masks)
-                images = np.asarray(images.astype(jnp.float32))
-            images = np.clip(images / 2 + 0.5, 0, 1)
+                images_u8 = np.asarray(images_u8)   # uint8 over the tunnel
             if output_type == "pil":
-                out = [Image.fromarray((im * 255).astype(np.uint8)) for im in images]
+                out = [Image.fromarray(im) for im in images_u8]
             else:
-                out = images
+                out = images_u8.astype(np.float32) / 255.0
 
             class _Out:
                 pass
@@ -268,20 +296,19 @@ class HunyuanPaintPipeline:
             num_inference_steps)
 
         with timed_scope("Paint Denoising"):
-            images = _denoise_loop(
+            images_u8 = _denoise_loop(
                 self.unet_params, self.unet_cfg, self.vae_params, self.vae_cfg,
                 key, ref_latents.astype(jnp.bfloat16),
                 normal_latents.astype(jnp.bfloat16),
                 position_latents.astype(jnp.bfloat16),
                 cam_gen, cam_ref, jnp.asarray(timesteps), jnp.asarray(sigmas),
                 float(guidance_scale), do_cfg)
-            images = np.asarray(images.astype(jnp.float32))
+            images_u8 = np.asarray(images_u8)       # uint8 over the tunnel
 
-        images = np.clip(images / 2 + 0.5, 0, 1)
         if output_type == "pil":
-            out = [Image.fromarray((im * 255).astype(np.uint8)) for im in images]
+            out = [Image.fromarray(im) for im in images_u8]
         else:
-            out = images
+            out = images_u8.astype(np.float32) / 255.0
 
         class _Out:
             pass

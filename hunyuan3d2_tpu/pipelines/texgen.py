@@ -181,10 +181,15 @@ class Hunyuan3DPaintPipeline:
         # 16× less single-core raster/interp work)
         cond_res = getattr(self.models["multiview_model"], "view_size", 512)
         with timed_scope("Render Cond Maps"):
-            normal_maps = self.render_normal_multiview(
-                elevs, azims, use_abs_coor=True, resolution=cond_res)
-            position_maps = self.render_position_multiview(
-                elevs, azims, resolution=cond_res)
+            # fused raster+interp: one pass per view for normal AND position
+            normal_maps, position_maps = [], []
+            for elev, azim in zip(elevs, azims):
+                nm, pm = self.render.render_normal_position(
+                    elev, azim, resolution=cond_res)
+                normal_maps.append(Image.fromarray(
+                    (np.clip(nm[..., :3], 0, 1) * 255).astype(np.uint8)))
+                position_maps.append(Image.fromarray(
+                    (np.clip(pm[..., :3], 0, 1) * 255).astype(np.uint8)))
 
         camera_info = [camera_info_index(azim, elev)
                        for azim, elev in zip(azims, elevs)]

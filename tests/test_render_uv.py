@@ -135,3 +135,17 @@ def test_bake_texture_fused_matches_retained_merge():
         exp=4, weights=weights)
     np.testing.assert_allclose(fus_tex, ref_tex, atol=1e-4)
     assert (fus_mask == ref_mask).all()
+
+
+def test_pushpull_fill_preserves_known_texels():
+    from hunyuan3d2_tpu import native
+
+    rs = np.random.RandomState(0)
+    tex = rs.rand(128, 128, 3).astype(np.float32)
+    mask = np.zeros((128, 128), np.uint8)
+    mask[:, :64] = 255
+    out = native.pushpull_fill(tex.copy(), mask)
+    assert np.array_equal(out[:, :64], tex[:, :64])
+    assert np.isfinite(out).all()
+    # fill pulls from the known half's statistics
+    assert abs(out[:, 64:].mean() - tex[:, :64].mean()) < 0.2
