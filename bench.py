@@ -92,8 +92,10 @@ def main():
         return extractor.from_actives(cell_flat, vals, int(count),
                                       octree + 1, 0.0, 1.01)
 
-    # warmup (compile)
+    # warmup (compile + host allocator arenas: first-touch page faults on
+    # this host are ~100 MB/s, so the first surface pass pays ~2 s extra)
     run_device_stages(0)
+    run_surface_stage()
     run_surface_stage()
 
     n_runs = 3

@@ -34,14 +34,54 @@ def recorrect_rgb(src: np.ndarray, target: np.ndarray, alpha_channel=None,
     return np.clip(out, 0.0, 1.0)
 
 
+def _diffusers_delight(ckpt_path: str, device: str = "cpu"):
+    """Exact reference construction (dehighlight_utils.py:23-37):
+    InstructPix2Pix + EulerAncestral, cfg_image 1.5 / cfg_text 1.0."""
+    import torch
+    from diffusers import (
+        EulerAncestralDiscreteScheduler,
+        StableDiffusionInstructPix2PixPipeline,
+    )
+
+    cuda = device.startswith("cuda") and torch.cuda.is_available()
+    pipe = StableDiffusionInstructPix2PixPipeline.from_pretrained(
+        ckpt_path, torch_dtype=torch.float16 if cuda else torch.float32,
+        safety_checker=None)
+    pipe.scheduler = EulerAncestralDiscreteScheduler.from_config(
+        pipe.scheduler.config)
+    pipe.set_progress_bar_config(disable=True)
+    pipe = pipe.to("cuda" if cuda else "cpu")
+
+    def run(rgb01):
+        import numpy as np
+
+        image = Image.fromarray((np.clip(rgb01, 0, 1) * 255).astype(np.uint8))
+        with torch.no_grad():
+            out = pipe(prompt="", image=image, generator=torch.manual_seed(42),
+                       height=512, width=512, guidance_scale=1.0,
+                       image_guidance_scale=1.5, num_inference_steps=50,
+                       ).images[0]
+        return np.asarray(out).astype(np.float32) / 255.0
+
+    return run
+
+
 class Light_Shadow_Remover:
-    """Parity API: dehighlight_utils.py:23-110. Without a delight diffusion
-    checkpoint this applies the statistics recorrection only (a no-op on an
+    """Parity API: dehighlight_utils.py:23-110. With a delight checkpoint
+    path (and diffusers installed) this runs the reference InstructPix2Pix
+    construction; otherwise the statistics recorrection only (a no-op on an
     already evenly-lit cutout — which is why the fork disables the stage)."""
 
     def __init__(self, config=None, pipeline=None):
         self.config = config
         self.pipeline = pipeline  # optional diffusion delight model
+        ckpt = getattr(config, "light_remover_ckpt_path", None) if config else None
+        if pipeline is None and ckpt:
+            try:
+                self.pipeline = _diffusers_delight(
+                    ckpt, getattr(config, "device", "cpu"))
+            except ImportError:
+                pass
 
     def __call__(self, image: Image.Image) -> Image.Image:
         rgba = np.asarray(image.convert("RGBA")).astype(np.float32) / 255.0

@@ -12,10 +12,40 @@ import numpy as np
 from PIL import Image, ImageFilter
 
 
+def _diffusers_upscaler(device: str = "cpu"):
+    """Exact reference construction (imagesuper_utils.py:19-24): SD x4
+    upscaler, 5 inference steps."""
+    import torch
+    from diffusers import StableDiffusionUpscalePipeline
+
+    cuda = device.startswith("cuda") and torch.cuda.is_available()
+    pipe = StableDiffusionUpscalePipeline.from_pretrained(
+        "stabilityai/stable-diffusion-x4-upscaler",
+        torch_dtype=torch.float16 if cuda else torch.float32,
+    ).to("cuda" if cuda else "cpu")
+    pipe.set_progress_bar_config(disable=True)
+
+    def run(image, prompt=""):
+        import torch as _t
+
+        with _t.no_grad():
+            return pipe(prompt=[prompt], image=image,
+                        num_inference_steps=5).images[0]
+
+    return run
+
+
 class Image_Super_Net:
-    def __init__(self, config=None, pipeline=None, scale: int = 4):
+    def __init__(self, config=None, pipeline=None, scale: int = 4,
+                 use_diffusion: bool = False):
         self.pipeline = pipeline
         self.scale = scale
+        if pipeline is None and use_diffusion:
+            try:
+                self.pipeline = _diffusers_upscaler(
+                    getattr(config, "device", "cpu") if config else "cpu")
+            except ImportError:
+                pass
 
     def __call__(self, image: Image.Image, prompt: str = "") -> Image.Image:
         if self.pipeline is not None:

@@ -34,12 +34,18 @@ def server():
     env["HY3D_RANDOM_SIZE"] = "tiny"
     env["PYTHONPATH"] = ""
     env["JAX_PLATFORMS"] = "cpu"
+    import tempfile
+
+    # child output goes to a FILE: with stdout=PIPE the runtime's noisy
+    # stderr (XLA AOT-loader warnings) fills the 64 KB pipe buffer and
+    # blocks the server before it ever binds
+    log = tempfile.NamedTemporaryFile("w+b", suffix=".log", delete=False)
     proc = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "apps", "api_server.py"),
          "--host", "127.0.0.1", "--port", str(port), "--random-weights"],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        env=env, stdout=log, stderr=subprocess.STDOUT)
     base = f"http://127.0.0.1:{port}"
-    for _ in range(120):
+    for _ in range(180):
         try:
             with urllib.request.urlopen(base + "/healthz", timeout=2) as r:
                 if json.loads(r.read())["status"] == "ok":
@@ -48,7 +54,8 @@ def server():
             time.sleep(1)
     else:
         proc.kill()
-        out = proc.stdout.read().decode()
+        log.flush()
+        out = open(log.name, "rb").read().decode(errors="replace")
         pytest.fail(f"server did not come up:\n{out[-3000:]}")
     yield base
     proc.kill()

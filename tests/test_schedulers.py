@@ -75,3 +75,29 @@ def test_lcm_tables():
     assert len(timesteps) == 5
     assert np.all(np.diff(timesteps) < 0)
     assert len(ac) == 1000
+
+
+def test_consistency_sigmas_match_reference_indexing():
+    """PCM discrete grid (reference schedulers.py:340-349): indices
+    [0, round(i·T/pcm)−1 …] into linspace(0,1,T); inference subset
+    floor(linspace(0, pcm, N, endpoint=False)) — incl. non-divisor N."""
+    import numpy as np
+
+    from hunyuan3d2_tpu.pipelines.schedulers import (
+        ConsistencyFlowMatchEulerDiscreteScheduler,
+    )
+
+    sched = ConsistencyFlowMatchEulerDiscreteScheduler()
+    T, pcm = 1000, 50
+    full = np.linspace(0, 1, T)
+    euler_idx = np.asarray(
+        [0] + ((np.arange(1, pcm) * (T // pcm)).round().astype(np.int64) - 1).tolist())
+    discrete = full[euler_idx]
+    for n in (1, 5, 7, 30, 50):
+        want_idx = np.floor(np.linspace(0, pcm, num=n, endpoint=False)).astype(np.int64)
+        want = np.concatenate([discrete[want_idx], [1.0]]).astype(np.float32)
+        got = sched.make_sigmas(n)
+        np.testing.assert_allclose(got, want, atol=1e-7)
+    # spot values: sigma[1] at N=5 is linspace(0,1,1000)[199] = 199/999
+    got5 = sched.make_sigmas(5)
+    np.testing.assert_allclose(got5[1], 199 / 999, atol=1e-7)
