@@ -201,6 +201,17 @@ class HunyuanPaintPipeline:
         return cls(paint_unet.init(k1, ucfg), ucfg, sd_vae.init(k2, vcfg), vcfg,
                    view_size=view_size)
 
+    def shard(self, mesh=None):
+        """Distribute the paint stack over a device `Mesh`: UNet/VAE weights
+        tensor-parallel ("tp"), the multiview batch data-parallel ("dp") via
+        GSPMD propagation from the param shardings. Call sites unchanged."""
+        from hunyuan3d2_tpu.parallel import make_mesh, shard_params
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.unet_params = shard_params(self.unet_params, self.mesh)
+        self.vae_params = shard_params(self.vae_params, self.mesh)
+        return self
+
     def set_turbo(self, turbo: bool = True):
         self.is_turbo = turbo
         self.scheduler = LCMScheduler() if turbo else EulerAncestralDiscreteScheduler()

@@ -147,6 +147,27 @@ class Hunyuan3DDiTPipeline:
         )
 
     # -- pieces ---------------------------------------------------------------
+    def shard(self, mesh=None):
+        """Distribute the pipeline over a device `Mesh` (NEW TPU capability,
+        SURVEY.md §2.6 — the reference is single-GPU): transformer weights
+        tensor-parallel over "tp" (Megatron column/row pairs,
+        parallel/sharding.py), batch-like axes (the CFG pair, volume-decode
+        query tiles) data-parallel over "dp". All jitted programs pick the
+        layouts up from the param shardings (GSPMD); call sites are
+        unchanged. With no argument, builds a mesh over all visible devices.
+        """
+        from hunyuan3d2_tpu.parallel import make_mesh, shard_params
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.model_params = shard_params(self.model_params, self.mesh)
+        self.vae.params = shard_params(self.vae.params, self.mesh)
+        main = self.conditioner.main
+        main.params = shard_params(main.params, self.mesh)
+        additional = getattr(self.conditioner, "additional", None)
+        if additional is not None:
+            additional.params = shard_params(additional.params, self.mesh)
+        return self
+
     def enable_flashvdm(self, enabled: bool = True, adaptive_kv_selection=True,
                         topk_mode="mean", mc_algo="dmc", replace_vae: bool = False):
         """Parity: pipelines.py:254-294 (turbo VAE swap is a checkpoint-level

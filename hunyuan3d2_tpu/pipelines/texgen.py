@@ -61,6 +61,12 @@ class Hunyuan3DPaintPipeline:
             default_resolution=self.config.render_size,
             texture_size=self.config.texture_size)
 
+    def shard(self, mesh=None):
+        """Distribute the inner diffusion stack over a device `Mesh`
+        (see HunyuanPaintPipeline.shard)."""
+        self.models["multiview_model"].pipeline.shard(mesh)
+        return self
+
     # -- constructors -------------------------------------------------------------
     @classmethod
     def from_pretrained(cls, model_path: str,
