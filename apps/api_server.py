@@ -50,13 +50,19 @@ class ModelWorker:
     """Parity: api_server.py ModelWorker (:145-229)."""
 
     def __init__(self, model_path="tencent/Hunyuan3D-2", subfolder="hunyuan3d-dit-v2-0",
-                 enable_tex=False, random_weights=False):
+                 enable_tex=False, random_weights=False, tex_model_path=None,
+                 limit_model_concurrency: int = 5):
+        import threading
+
         import jax
 
         from hunyuan3d2_tpu.pipelines.shapegen import Hunyuan3DDiTFlowMatchingPipeline
         from hunyuan3d2_tpu.utils.rembg import BackgroundRemover
 
         self.worker_id = str(uuid.uuid4())[:6]
+        # parity: api_server.py --limit-model-concurrency (the reference
+        # gates concurrent generations with a semaphore)
+        self.model_semaphore = threading.Semaphore(limit_model_concurrency)
         self.rembg = BackgroundRemover()
         if random_weights:
             size = os.environ.get("HY3D_RANDOM_SIZE", "mini")
@@ -73,9 +79,19 @@ class ModelWorker:
             if random_weights:
                 self.pipeline_tex = Hunyuan3DPaintPipeline.init_random()
             else:
-                self.pipeline_tex = Hunyuan3DPaintPipeline.from_pretrained(model_path)
+                self.pipeline_tex = Hunyuan3DPaintPipeline.from_pretrained(
+                    tex_model_path or model_path)
 
     def generate(self, uid: str, params: dict) -> str:
+        from PIL import Image
+
+        self.model_semaphore.acquire()
+        try:
+            return self._generate(uid, params)
+        finally:
+            self.model_semaphore.release()
+
+    def _generate(self, uid: str, params: dict) -> str:
         from PIL import Image
 
         from hunyuan3d2_tpu.geometry.postprocess import (
@@ -197,6 +213,12 @@ def main():
     ap.add_argument("--port", type=int, default=8081)
     ap.add_argument("--model_path", default="tencent/Hunyuan3D-2")
     ap.add_argument("--subfolder", default="hunyuan3d-dit-v2-0")
+    ap.add_argument("--tex_model_path", default=None,
+                    help="texgen checkpoint path (defaults to --model_path)")
+    ap.add_argument("--device", default="tpu",
+                    help="accepted for reference-CLI parity; compute device "
+                         "selection is JAX_PLATFORMS on this stack")
+    ap.add_argument("--limit-model-concurrency", type=int, default=5)
     ap.add_argument("--enable_tex", action="store_true")
     ap.add_argument("--random-weights", action="store_true",
                     help="random-init models (no checkpoint download)")
@@ -205,7 +227,8 @@ def main():
 
     build_logger(args.log_dir)
     WORKER = ModelWorker(args.model_path, args.subfolder, args.enable_tex,
-                         args.random_weights)
+                         args.random_weights, tex_model_path=args.tex_model_path,
+                         limit_model_concurrency=args.limit_model_concurrency)
     server = ThreadingHTTPServer((args.host, args.port), Handler)
     logger.info("serving on %s:%d (worker %s)", args.host, args.port,
                 WORKER.worker_id)
