@@ -193,6 +193,10 @@ import functools
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _decode_latents_jit(params, cfg, latents):
+    # NOTE dtype policy: fp32 activations, measured deliberately. Casting the
+    # decode path to bf16 made the pruned (top-k gather) decode ~20× SLOWER
+    # on v5e (47.8 s vs 2.4 s at octree 384) — the take_along_axis K/V
+    # gathers degrade badly in bf16 — so the decode stays fp32 end to end.
     return decode_latents(params, cfg, latents)
 
 
