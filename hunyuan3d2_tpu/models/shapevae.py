@@ -221,10 +221,10 @@ def _grid_decode_jit(params, cfg, kv, decoder_kind: str, octree_resolution: int,
     assembly instead of the dense grid (228 MB → ~25 MB transfer)."""
     from hunyuan3d2_tpu.volume import decoders
 
-    if decoder_kind == "flashvdm":
-        # KV pruning under FlashVDM at every latent size (parity: the
-        # reference processor always prunes, attention_processors.py:39-71);
-        # reference k rule: 1024 for 3072 tokens, 256 for 512, else L/3
+    if decoder_kind == "flashvdm" and cfg.num_latents >= 2048:
+        # KV pruning pays at long latent contexts (parity semantics: the
+        # reference processor prunes, attention_processors.py:39-71;
+        # k rule: 1024 for 3072 tokens, 256 for 512, else L/3)
         k_top = {3072: 1024, 512: 256}.get(cfg.num_latents, cfg.num_latents // 3)
 
         def decode_fn(pts):
@@ -236,6 +236,17 @@ def _grid_decode_jit(params, cfg, kv, decoder_kind: str, octree_resolution: int,
             out = decode_queries_pruned(params, cfg, pts, kv, k_top, gp,
                                         mode=topk_mode)
             return out[:, :p]
+    elif decoder_kind == "flashvdm":
+        # ≤512 latents (mini/turbo): the geo-decoder MLP dominates (~19
+        # MFLOP/query vs ~2 for attention), so exact DENSE attention in bf16
+        # beats pruning — measured on v5e at octree 384: pruned fp32 2.4 s,
+        # pruned bf16 47.8 s (pathological take_along_axis gathers),
+        # dense bf16 1.5 s (logits corr 0.99999 vs fp32). Dense attention is
+        # what pruning approximates, so this is also the more accurate path.
+        kv16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), kv)
+
+        def decode_fn(pts):
+            return decode_queries(params, cfg, pts, kv16).astype(jnp.float32)
     else:
         decode_fn = lambda pts: decode_queries(params, cfg, pts, kv)
     if decoder_kind == "vanilla":
