@@ -150,6 +150,7 @@ class MeshRender:
         else:
             self.vtx_uv = None
             self.uv_idx = None
+        self._vn_cache = None
         if auto_center:
             vmax, vmin = v.max(0), v.min(0)
             center = (vmax + vmin) / 2
@@ -219,10 +220,14 @@ class MeshRender:
         return out
 
     def _vertex_normals(self) -> np.ndarray:
-        v, f = self.vtx_pos, self.pos_idx
-        fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
-        fn = fn / np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12)
-        return mean_vertex_normals(len(v), f, fn)
+        """World-space mean vertex normals, cached per mesh (view-independent;
+        set_mesh invalidates)."""
+        if getattr(self, "_vn_cache", None) is None:
+            v, f = self.vtx_pos, self.pos_idx
+            fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+            fn = fn / np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12)
+            self._vn_cache = mean_vertex_normals(len(v), f, fn)
+        return self._vn_cache
 
     # -- rendered maps -------------------------------------------------------------
     def render_normal(self, elev, azim, camera_distance=None, center=None,
