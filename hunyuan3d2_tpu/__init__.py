@@ -21,6 +21,36 @@ __version__ = "0.1.0"
 import os as _os
 
 
+def _host_fingerprint() -> str:
+    """Short hash of the execution host's CPU features + jaxlib version.
+
+    XLA:CPU AOT executables are machine-specific: loading a cached
+    executable compiled on a host with different CPU features SIGILL/aborts
+    at execution (observed: a stale .jax_cache_cpu from another machine
+    crashed the test suite; round 1's multichip dryrun failed the same way
+    on a libtpu version skew). Keying the cache dir by host fingerprint
+    makes stale cross-machine entries unreachable instead of fatal."""
+    import hashlib
+    import platform as _platform
+
+    bits = [_platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    bits.append(line.strip())
+                    break
+    except OSError:
+        pass
+    try:
+        import jaxlib
+
+        bits.append(jaxlib.__version__)
+    except Exception:
+        pass
+    return hashlib.sha1(" ".join(bits).encode()).hexdigest()[:10]
+
+
 def _setup_compilation_cache():
     """Persistent XLA/Mosaic compilation cache (first Pallas compile through
     the remote-compile tunnel costs minutes; cache it across processes)."""
@@ -31,7 +61,8 @@ def _setup_compilation_cache():
         cache_dir = _os.environ.get(
             "HY3D_TPU_CACHE",
             _os.path.join(_os.path.dirname(__file__), "..",
-                          f".jax_cache_{platform.split(',')[0]}"))
+                          f".jax_cache_{platform.split(',')[0]}"
+                          f"_{_host_fingerprint()}"))
         jax.config.update("jax_compilation_cache_dir", _os.path.abspath(cache_dir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
