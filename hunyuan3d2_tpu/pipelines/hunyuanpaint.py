@@ -136,13 +136,24 @@ def _denoise_loop(unet_params, ucfg, vae_params, vcfg, key,
     return jnp.round(img01 * 255.0).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("ucfg", "vcfg"))
+@functools.partial(jax.jit, static_argnames=("ucfg", "vcfg", "mask_grids"))
 def _denoise_loop_lcm(unet_params, ucfg, vae_params, vcfg, key,
                       ref_latents, normal_latents, position_latents,
                       cam_gen, cam_ref, timesteps, alphas_cumprod,
-                      mva_masks=None):
+                      position01=None, mask_grids=()):
     """Turbo path: LCM consistency sampling, no CFG (parity:
-    hunyuanpaint/pipeline.py:598-603 turbo schedule; LCM step semantics)."""
+    hunyuanpaint/pipeline.py:598-603 turbo schedule; LCM step semantics).
+    position01: [B, N, H, W, 3] uint8/float position maps — the voxel
+    attention masks are built here, inside the compiled program."""
+    mva_masks = None
+    if position01 is not None and mask_grids:
+        pos = position01.astype(jnp.float32)
+        if position01.dtype == jnp.uint8:
+            pos = pos / 255.0
+        mva_masks = {}
+        for g in mask_grids:
+            m = paint_unet.compute_voxel_grid_mask(pos, g)
+            mva_masks[int(m.shape[1])] = m
     b, n_gen = normal_latents.shape[:2]
     h, w = normal_latents.shape[2:4]
     key, k0 = jax.random.split(key)
@@ -265,14 +276,11 @@ class HunyuanPaintPipeline:
         if self.is_turbo:
             timesteps, ac = LCMScheduler().make_tables(
                 min(num_inference_steps, 10))
-            # voxel-locality multiview attention masks (parity:
-            # hunyuanpaint/pipeline.py:334-339 turbo path)
-            mva_masks = {}
-            pos_maps = jnp.asarray(position01).astype(jnp.float32) / 255.0
-            for g in (32, 16, 8):
-                if pos_maps.shape[2] % g == 0:
-                    m = paint_unet.compute_voxel_grid_mask(pos_maps, g)
-                    mva_masks[int(m.shape[1])] = m
+            # voxel-locality multiview attention mask resolutions (parity:
+            # hunyuanpaint/pipeline.py:334-339 turbo path); the masks are
+            # computed INSIDE the jitted loop — eagerly they cost ~45 device
+            # dispatches (~25 ms each over the remote tunnel)
+            grids = tuple(g for g in (32, 16, 8) if position01.shape[3] % g == 0)
             with timed_scope("Paint Denoising (turbo)"):
                 images_u8 = _denoise_loop_lcm(
                     self.unet_params, self.unet_cfg, self.vae_params, self.vae_cfg,
@@ -280,7 +288,7 @@ class HunyuanPaintPipeline:
                     normal_latents.astype(jnp.bfloat16),
                     position_latents.astype(jnp.bfloat16),
                     cam_gen, cam_ref, jnp.asarray(timesteps), jnp.asarray(ac),
-                    mva_masks)
+                    jnp.asarray(position01), grids)
                 images_u8 = np.asarray(images_u8)   # uint8 over the tunnel
             if output_type == "pil":
                 out = [Image.fromarray(im) for im in images_u8]
