@@ -269,6 +269,9 @@ def main():
     ap.add_argument("--texgen_model_path", default="tencent/Hunyuan3D-2")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--device", default="tpu",
+                    help="accepted for reference-CLI parity; compute device "
+                         "selection is JAX_PLATFORMS on this stack")
     ap.add_argument("--enable_t23d", action="store_true")
     ap.add_argument("--disable_tex", action="store_true")
     ap.add_argument("--enable_flashvdm", action="store_true")
