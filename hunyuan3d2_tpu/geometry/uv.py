@@ -77,6 +77,55 @@ def _face_components_in_bucket(faces: np.ndarray, bucket: np.ndarray,
     return chart
 
 
+def _face_adjacency(faces: np.ndarray, n_vertices: int) -> np.ndarray:
+    """[F, 3] neighbor face ids over shared edges (-1 where boundary)."""
+    nf = len(faces)
+    edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    edges = np.sort(edges, axis=1)
+    face_of_edge = np.tile(np.arange(nf), 3)
+    key = edges[:, 0].astype(np.int64) * n_vertices + edges[:, 1]
+    order = np.argsort(key, kind="stable")
+    key_s, face_s = key[order], face_of_edge[order]
+    nbr = np.full((nf, 3), -1, np.int64)
+    cnt = np.zeros(nf, np.int64)
+    same = np.nonzero(key_s[1:] == key_s[:-1])[0]
+    for i in same:
+        fa, fb = face_s[i], face_s[i + 1]
+        if cnt[fa] < 3:
+            nbr[fa, cnt[fa]] = fb
+            cnt[fa] += 1
+        if cnt[fb] < 3:
+            nbr[fb, cnt[fb]] = fa
+            cnt[fb] += 1
+    return nbr
+
+
+def _smooth_buckets(fn: np.ndarray, bucket: np.ndarray, nbr: np.ndarray,
+                    iters: int = 4, min_dot: float = 0.25) -> np.ndarray:
+    """Majority-filter the per-face bucket assignment over the adjacency
+    graph: a face joins the bucket shared by ≥2 of its neighbors when its
+    normal still projects positively onto that bucket's axis (keeps the
+    axis-projection orientation guarantee). Smooths the jagged boundaries of
+    the argmax bucketing — the dominant source of seam length — and absorbs
+    single-face slivers."""
+    bucket = bucket.copy()
+    for _ in range(iters):
+        nb = np.where(nbr >= 0, bucket[np.maximum(nbr, 0)], -1)  # [F, 3]
+        # majority bucket among neighbors (≥2 agreeing)
+        maj = np.full(len(bucket), -1, np.int64)
+        for a in range(3):
+            for b in range(a + 1, 3):
+                agree = (nb[:, a] == nb[:, b]) & (nb[:, a] >= 0)
+                maj = np.where(agree & (maj < 0), nb[:, a], maj)
+        dots = np.einsum("fc,bc->fb", fn, _AXES)
+        ok = (maj >= 0) & (maj != bucket) & \
+             (dots[np.arange(len(bucket)), np.maximum(maj, 0)] > min_dot)
+        if not ok.any():
+            break
+        bucket[ok] = maj[ok]
+    return bucket
+
+
 def _shelf_pack(sizes: np.ndarray, margin: float):
     """Pack rectangles (w,h) into the unit square. Returns (offsets [N,2],
     scale) — positions of each rect's lower-left corner after scaling."""
@@ -118,6 +167,8 @@ def unwrap(vertices: np.ndarray, faces: np.ndarray, margin: float = 0.004):
     fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
     fn = fn / np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12)
     bucket = np.argmax(fn @ _AXES.T, axis=1)                # [F]
+    nbr = _face_adjacency(f, len(v))
+    bucket = _smooth_buckets(fn, bucket, nbr)
     chart = _face_components_in_bucket(f, bucket, len(v))   # [F]
     n_charts = chart.max() + 1
 

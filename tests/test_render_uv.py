@@ -182,7 +182,7 @@ def test_uv_seam_metric_recorded():
     ratio = seam_len / max(np.sqrt(area), 1e-9)
     print(f"uv seam ratio (len/sqrt(area)): {ratio:.2f}, "
           f"boundary edges: {len(boundary)}")
-    assert ratio < 60.0, ratio  # generous bound; xatlas-class is ~3-6
+    assert ratio < 25.0, ratio  # post-smoothing bound; xatlas-class is ~3-6
 
     # uv-space stretch: ratio of 3D to UV triangle areas should be roughly
     # uniform within a chart — record the spread
