@@ -58,7 +58,18 @@ class DegenerateFaceRemover:
     @synchronize_timer("DegenerateFaceRemover")
     def __call__(self, mesh) -> Mesh:
         mesh = _as_mesh(mesh).copy()
-        v, f = mesh.vertices, mesh.faces
+        v = np.asarray(mesh.vertices, np.float32)
+        f = np.asarray(mesh.faces, np.int32)
+        try:
+            from hunyuan3d2_tpu import native
+
+            # one O(N) hashing pass (the numpy twin below lexsorts two
+            # ~500k-row arrays and dominated the postprocess stage)
+            out_v, out_f = native.weld_dedup(v, f)
+            mesh.vertices, mesh.faces = out_v, out_f
+            return mesh.remove_unreferenced_vertices()
+        except Exception:  # pragma: no cover — numpy fallback
+            pass
         # weld identical vertices
         uniq, inv = np.unique(v, axis=0, return_inverse=True)
         f = inv[f].astype(np.int32)
@@ -84,12 +95,37 @@ class FaceReducer:
 
     @synchronize_timer("FaceReducer")
     def __call__(self, mesh, max_facenum: int = 40000) -> Mesh:
+        import os
+
         mesh = _as_mesh(mesh)
         if len(mesh.faces) <= max_facenum:
             return mesh
         from hunyuan3d2_tpu import native
 
-        v, f = native.simplify(mesh.vertices, mesh.faces, max_facenum)
+        v, f = mesh.vertices, mesh.faces
+        # for very large inputs, an O(N) vertex-cluster pre-pass removes the
+        # trivial early collapses the exact quadric stage would spend most of
+        # its time on; the final shape is still quadric-optimized. Opt out
+        # with HY3D_EXACT_SIMPLIFY=1 for pure quadric end to end.
+        if (len(f) > 8 * max_facenum
+                and os.environ.get("HY3D_EXACT_SIMPLIFY", "0") != "1"):
+            target_pre = 4 * max_facenum
+            e1 = v[f[:, 1]] - v[f[:, 0]]
+            e2 = v[f[:, 2]] - v[f[:, 0]]
+            area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1).sum()
+            cell = float(np.sqrt(max(area, 1e-12) / max(target_pre / 2, 1)))
+            for _ in range(3):
+                cv, cf = native.cluster_decimate(v, f, cell)
+                if len(cf) <= max_facenum:
+                    cell *= 0.7  # overshot: refine
+                    continue
+                if len(cf) > 2 * target_pre:
+                    cell *= float(np.sqrt(len(cf) / target_pre))
+                    continue
+                v, f = cv, cf
+                break
+        if len(f) > max_facenum:
+            v, f = native.simplify(v, f, max_facenum)
         return Mesh(v, f, metadata=dict(mesh.metadata))
 
 

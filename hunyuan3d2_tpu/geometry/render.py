@@ -573,6 +573,91 @@ class MeshRender:
         tex_merge /= np.maximum(trust[..., None], 1e-8)
         return tex_merge, trust[..., None] > 1e-8
 
+    def prepare_bake_geometry(self, elevs, azims, camera_distance=None,
+                              center=None, resolution=None):
+        """Color-independent half of the fused bake: per-view rasterization,
+        visibility erosion and depth-edge reliability masks at the bake
+        resolution. Everything here depends only on the mesh and cameras, so
+        the paint pipeline runs it WHILE the TPU denoises the views (the
+        diffusion dispatch is async; only fetching its uint8 output blocks).
+
+        Returns a list of (amap, fid, reliable) per view, aliasing
+        per-view persistent buffers (valid until the next prepare call)."""
+        from hunyuan3d2_tpu import native
+        from hunyuan3d2_tpu.native import _buf
+
+        same_idx = self.uv_idx is self.pos_idx or np.array_equal(
+            self.uv_idx, self.pos_idx)
+        if not same_idx:
+            return None  # per-corner UVs: caller falls back to back_project
+        h = w = resolution or max(self.default_resolution)
+        bufs = self._bake_bufs = getattr(self, "_bake_bufs", {})
+        ksize = self.bake_unreliable_kernel_size * 2 + 1
+        out = []
+        for vi, (elev, azim) in enumerate(zip(elevs, azims)):
+            mv, mvp = self._mvp(elev, azim, camera_distance, center)
+            clip = cam.transform_pos(mvp, self.vtx_pos)
+            pc = cam.transform_pos(mv, self.vtx_pos)
+            pc = pc[:, :3] / pc[:, 3:4]
+            fn = np.cross(pc[self.pos_idx[:, 1]] - pc[self.pos_idx[:, 0]],
+                          pc[self.pos_idx[:, 2]] - pc[self.pos_idx[:, 0]])
+            fn = fn / np.maximum(np.linalg.norm(fn, axis=1, keepdims=True),
+                                 1e-12)
+            vn = mean_vertex_normals(len(self.vtx_pos), self.pos_idx, fn)
+            attrs = np.concatenate([vn, self.vtx_uv, pc[:, 2:3]], axis=1)
+            # per-view persistent raster buffers (retained across the views,
+            # reused across paint calls — fresh 100 MB allocations fault at
+            # ~100 MB/s on this host)
+            vbufs = bufs.setdefault(f"geom_v{vi}", {})
+            fid, _, _, amap = native.rasterize_interp(
+                clip, self.pos_idx, attrs, h, w, bufs=vbufs)
+            visible = _buf(vbufs, "bk_vis", (h, w), np.uint8)
+            np.greater_equal(fid, 0, out=visible.view(bool))
+            depth = amap[..., 5]
+            dsel = depth[visible > 0]
+            depth_img = _buf(vbufs, "bk_depth", (h, w), np.float32)
+            if dsel.size:
+                dmin, dmax = dsel.min(), dsel.max()
+                np.multiply(depth - dmin, visible / max(dmax - dmin, 1e-12),
+                            out=depth_img)
+            else:
+                depth_img[:] = 0
+            sketch = self.render_sketch_from_depth(depth_img)
+            inv_dilated = _dilate(1 - visible, ksize)
+            sketch_dilated = _dilate((sketch[..., 0] > 0).astype(np.uint8),
+                                     ksize)
+            reliable = _buf(vbufs, "bk_rel", (h, w), np.uint8)
+            np.logical_and(inv_dilated == 0, sketch_dilated < 0.5,
+                           out=reliable.view(bool))
+            out.append((amap, fid, reliable))
+        return out
+
+    def bake_texture_prepared(self, views_u8, geometry, exp=6, weights=None):
+        """Color-dependent half of the fused bake: splat each NATIVE-size
+        uint8 view into the texture using precomputed per-view geometry
+        (from prepare_bake_geometry). The native kernel bilinearly samples
+        the view at the raster scale, so the 512→2048 upsample never
+        materializes. Numerically matches bake_texture_fused with
+        PIL-BILINEAR-upsampled views (up to their uint8 rounding)."""
+        from hunyuan3d2_tpu import native
+
+        views_u8 = np.asarray(views_u8)
+        n = len(views_u8)
+        if weights is None:
+            weights = [1.0] * n
+        th, tw = self.texture_size
+        c = views_u8.shape[-1]
+        tex_merge = np.zeros((th, tw, c), np.float32)
+        trust = np.zeros((th, tw), np.float32)
+        cos_thres = np.cos(self.bake_angle_thres / 180 * np.pi)
+        for (amap, fid, reliable), view, weight in zip(geometry, views_u8,
+                                                       weights):
+            native.bake_view_u8(amap, fid, np.ascontiguousarray(view),
+                                reliable, cos_thres, weight, exp,
+                                tex_merge, trust)
+        tex_merge /= np.maximum(trust[..., None], 1e-8)
+        return tex_merge, trust[..., None] > 1e-8
+
     def uv_inpaint(self, texture, mask: np.ndarray) -> np.ndarray:
         """Vertex-graph inpaint (native) + hole fill (parity:
         mesh_render.py:800-823 — vertex inpaint then cv2 INPAINT_NS).

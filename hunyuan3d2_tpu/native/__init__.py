@@ -51,12 +51,22 @@ def get_lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
         ctypes.c_float, f32p, f32p]
     lib.hy3d_bake_view.restype = ctypes.c_int
+    lib.hy3d_bake_view_u8.argtypes = [
+        f32p, i32p, u8p, ctypes.c_int, ctypes.c_int, u8p, ctypes.c_float,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, f32p, f32p]
+    lib.hy3d_bake_view_u8.restype = ctypes.c_int
     lib.hy3d_pushpull_fill.argtypes = [f32p, u8p, ctypes.c_int, ctypes.c_int,
                                        ctypes.c_int]
     lib.hy3d_face_components.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64, i32p]
     lib.hy3d_face_components.restype = ctypes.c_int32
     lib.hy3d_simplify.argtypes = [f32p, ctypes.c_int64, i32p, ctypes.c_int64,
                                   ctypes.c_int64, f32p, i64p, i32p, i64p]
+    lib.hy3d_weld_dedup.argtypes = [f32p, ctypes.c_int64, i32p, ctypes.c_int64,
+                                    f32p, i64p, i32p, i64p]
+    lib.hy3d_cluster_decimate.argtypes = [f32p, ctypes.c_int64, i32p,
+                                          ctypes.c_int64, ctypes.c_double,
+                                          f32p, i64p, i32p, i64p]
     lib.hy3d_surface_nets.argtypes = [f32p, ctypes.c_int64, ctypes.c_float,
                                       f32p, ctypes.c_int64, i32p, ctypes.c_int64,
                                       i64p, i64p]
@@ -154,6 +164,28 @@ def bake_view(amap: np.ndarray, fid: np.ndarray, image: np.ndarray,
     return bool(merged)
 
 
+def bake_view_u8(amap: np.ndarray, fid: np.ndarray, image_u8: np.ndarray,
+                 reliable: np.ndarray, cos_thres: float, weight: float,
+                 exp: float, tex_merge: np.ndarray, trust: np.ndarray) -> bool:
+    """bake_view with the view image at its NATIVE uint8 resolution
+    [ih,iw,C]: the kernel bilinearly samples it at each raster pixel
+    (align_corners=False, i.e. a PIL-BILINEAR-style upsample) instead of
+    requiring a pre-upsampled fp32 image — no 50 MB/view temporaries."""
+    lib = get_lib()
+    h, w = fid.shape
+    ih, iw, c = image_u8.shape
+    th, tw = trust.shape
+    assert amap.shape == (h, w, 6) and tex_merge.shape == (th, tw, c)
+    merged = lib.hy3d_bake_view_u8(
+        np.ascontiguousarray(amap, np.float32),
+        np.ascontiguousarray(fid, np.int32),
+        np.ascontiguousarray(image_u8, np.uint8), ih, iw,
+        np.ascontiguousarray(reliable, np.uint8),
+        float(cos_thres), h, w, c, th, tw, float(weight), float(exp),
+        tex_merge, trust)
+    return bool(merged)
+
+
 def pushpull_fill(texture: np.ndarray, mask: np.ndarray) -> np.ndarray:
     """O(N) pyramid hole fill for texture atlases: known texels (mask=255)
     are kept bit-exact; unknowns take valid-weighted coarse averages."""
@@ -225,4 +257,36 @@ def simplify(verts: np.ndarray, faces: np.ndarray, target_faces: int):
     onf = ctypes.c_int64()
     lib.hy3d_simplify(verts, len(verts), faces, len(faces), target_faces,
                       out_v, ctypes.byref(onv), out_f, ctypes.byref(onf))
+    return out_v[: onv.value].copy(), out_f[: onf.value].copy()
+
+
+def weld_dedup(verts: np.ndarray, faces: np.ndarray):
+    """Exact vertex weld + degenerate/duplicate face removal in one hashing
+    pass (O(N); the numpy twin lexsorts twice). Keeps first-occurrence
+    ordering for both vertices and faces."""
+    lib = get_lib()
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    out_v = np.empty_like(verts)
+    out_f = np.empty_like(faces)
+    onv = ctypes.c_int64()
+    onf = ctypes.c_int64()
+    lib.hy3d_weld_dedup(verts, len(verts), faces, len(faces),
+                        out_v, ctypes.byref(onv), out_f, ctypes.byref(onf))
+    return out_v[: onv.value].copy(), out_f[: onf.value].copy()
+
+
+def cluster_decimate(verts: np.ndarray, faces: np.ndarray, cell: float):
+    """Uniform vertex clustering at `cell` size: averages each cluster and
+    drops collapsed/duplicate faces. O(N) pre-decimation for huge meshes."""
+    lib = get_lib()
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    out_v = np.empty_like(verts)
+    out_f = np.empty_like(faces)
+    onv = ctypes.c_int64()
+    onf = ctypes.c_int64()
+    lib.hy3d_cluster_decimate(verts, len(verts), faces, len(faces),
+                              float(cell), out_v, ctypes.byref(onv),
+                              out_f, ctypes.byref(onf))
     return out_v[: onv.value].copy(), out_f[: onf.value].copy()

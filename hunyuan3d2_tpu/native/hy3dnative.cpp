@@ -351,6 +351,94 @@ int hy3d_bake_view(const float* amap, const int32_t* fid, const float* image,
   return 1;
 }
 
+// hy3d_bake_view with the view image kept at its NATIVE resolution as uint8:
+// the diffusion views are 512² while the bake raster is 2048², and the
+// reference upsamples the view before splatting (texgen pipelines.py:237).
+// Upsampling is color-interpolation only, so instead of materializing a
+// 50 MB fp32 2048² image per view (first-touch faults at ~100 MB/s dominate)
+// this kernel bilinearly samples the uint8 view at the raster pixel's
+// position (align_corners=False convention, matching a PIL BILINEAR
+// upsample) inside the splat loop. image: [ih,iw,c] uint8.
+int hy3d_bake_view_u8(const float* amap, const int32_t* fid,
+                      const uint8_t* image, int ih, int iw,
+                      const uint8_t* reliable, float cos_thres, int h, int w,
+                      int c, int th, int tw, float weight, float expnt,
+                      float* tex_merge, float* trust) {
+  static std::vector<float> acc;  // [th*tw*(c+1)] per-view color|cos sums
+  static std::vector<float> cnt;  // [th*tw] per-view bilinear weights
+  const int cc = c + 1;
+  acc.assign((size_t)th * tw * cc, 0.f);
+  cnt.assign((size_t)th * tw, 0.f);
+  const float sx = (float)ih / (float)h, sy = (float)iw / (float)w;
+  const float inv255 = 1.f / 255.f;
+  for (int64_t p = 0; p < (int64_t)h * w; ++p) {
+    if (!reliable[p] || fid[p] < 0) continue;
+    const float* a = amap + p * 6;
+    float cosang = -a[2];
+    if (cosang < cos_thres) cosang = 0.f;
+    // sample the native-size view at this raster pixel's center
+    const int pr = (int)(p / w), pc2 = (int)(p % w);
+    float ix = (pr + 0.5f) * sx - 0.5f;
+    float iy = (pc2 + 0.5f) * sy - 0.5f;
+    int ix0 = std::min(std::max((int)std::floor(ix), 0), ih - 1);
+    int iy0 = std::min(std::max((int)std::floor(iy), 0), iw - 1);
+    int ix1 = std::min(ix0 + 1, ih - 1);
+    int iy1 = std::min(iy0 + 1, iw - 1);
+    float gx = std::min(std::max(ix - ix0, 0.f), 1.f);
+    float gy = std::min(std::max(iy - iy0, 0.f), 1.f);
+    const uint8_t* r0 = image + ((int64_t)ix0 * iw + iy0) * c;
+    const uint8_t* r1 = image + ((int64_t)ix0 * iw + iy1) * c;
+    const uint8_t* r2 = image + ((int64_t)ix1 * iw + iy0) * c;
+    const uint8_t* r3 = image + ((int64_t)ix1 * iw + iy1) * c;
+    const float w0 = (1 - gx) * (1 - gy), w1 = (1 - gx) * gy,
+                w2 = gx * (1 - gy), w3 = gx * gy;
+    float col[8];
+    for (int ch = 0; ch < c; ++ch)
+      col[ch] = (w0 * r0[ch] + w1 * r1[ch] + w2 * r2[ch] + w3 * r3[ch]) *
+                inv255;
+    // row = v, col = u (back_project coords = uv[:, [1,0]])
+    float x = a[4] * (th - 1);
+    float y = a[3] * (tw - 1);
+    int x0 = std::min(std::max((int)std::floor(x), 0), th - 1);
+    int y0 = std::min(std::max((int)std::floor(y), 0), tw - 1);
+    int x1 = std::min(x0 + 1, th - 1);
+    int y1 = std::min(y0 + 1, tw - 1);
+    float fx = x - x0, fy = y - y0;
+    const float wts[4] = {(1 - fx) * (1 - fy), (1 - fx) * fy, fx * (1 - fy),
+                          fx * fy};
+    const int64_t idx[4] = {(int64_t)x0 * tw + y0, (int64_t)x0 * tw + y1,
+                            (int64_t)x1 * tw + y0, (int64_t)x1 * tw + y1};
+    for (int k = 0; k < 4; ++k) {
+      cnt[idx[k]] += wts[k];
+      float* dst = acc.data() + idx[k] * cc;
+      for (int ch = 0; ch < c; ++ch) dst[ch] += wts[k] * col[ch];
+      dst[c] += wts[k] * cosang;
+    }
+  }
+  // skip check: fraction of this view's positive-cos texels already painted
+  int64_t view_sum = 0, painted = 0;
+  for (int64_t t = 0; t < (int64_t)th * tw; ++t) {
+    if (cnt[t] <= 0.f) continue;
+    float cosm = acc[t * cc + c] / std::max(cnt[t], 1e-8f);
+    if (cosm > 0.f) {
+      ++view_sum;
+      if (trust[t] > 0.f) ++painted;
+    }
+  }
+  if (view_sum > 0 && (double)painted / (double)view_sum > 0.99) return 0;
+  for (int64_t t = 0; t < (int64_t)th * tw; ++t) {
+    if (cnt[t] <= 0.f) continue;
+    float inv = 1.f / std::max(cnt[t], 1e-8f);
+    float cosm = acc[t * cc + c] * inv;
+    float cw = weight * std::pow(cosm, expnt);
+    if (!(cw > 0.f)) continue;
+    float* dst = tex_merge + t * c;
+    for (int ch = 0; ch < c; ++ch) dst[ch] += acc[t * cc + ch] * inv * cw;
+    trust[t] += cw;
+  }
+  return 1;
+}
+
 // Push-pull pyramid hole fill: build a valid-weighted mip pyramid (push),
 // then fill unknown texels from coarser levels (pull). O(N) replacement for
 // the slow diffusion inpaint on large texture atlases; texels under the mask
@@ -684,6 +772,178 @@ void hy3d_simplify(const float* verts, int64_t nv, const int32_t* faces,
     ++onf;
   }
   *out_nv = onv;
+  *out_nf = onf;
+}
+
+// ---------------------------------------------------------------------------
+// Exact vertex weld + degenerate/duplicate face removal in one hashing pass
+// (the numpy twin — np.unique(axis=0) twice — lexsorts 500k-row arrays and
+// dominated DegenerateFaceRemover). Open-addressing tables, no sort.
+// ---------------------------------------------------------------------------
+namespace {
+struct OpenSet96 {
+  // open-addressing set/map keyed by 3×uint32; value = insertion index
+  std::vector<uint32_t> ka, kb, kc;
+  std::vector<int32_t> val;
+  size_t mask;
+  explicit OpenSet96(size_t expect) {
+    size_t cap = 16;
+    while (cap < expect * 2) cap <<= 1;
+    ka.assign(cap, 0xffffffffu);
+    kb.assign(cap, 0);
+    kc.assign(cap, 0);
+    val.assign(cap, -1);
+    mask = cap - 1;
+  }
+  static inline uint64_t mix(uint32_t a, uint32_t b, uint32_t c) {
+    uint64_t h = (uint64_t)a * 0x9e3779b97f4a7c15ull;
+    h ^= (uint64_t)b * 0xc2b2ae3d27d4eb4full;
+    h ^= (uint64_t)c * 0x165667b19e3779f9ull;
+    h ^= h >> 29;
+    return h;
+  }
+  // returns existing value, or inserts fresh and returns it
+  inline int32_t get_or_insert(uint32_t a, uint32_t b, uint32_t c,
+                               int32_t fresh, bool* inserted) {
+    size_t i = mix(a, b, c) & mask;
+    for (;;) {
+      if (val[i] < 0) {
+        ka[i] = a;
+        kb[i] = b;
+        kc[i] = c;
+        val[i] = fresh;
+        *inserted = true;
+        return fresh;
+      }
+      if (ka[i] == a && kb[i] == b && kc[i] == c) {
+        *inserted = false;
+        return val[i];
+      }
+      i = (i + 1) & mask;
+    }
+  }
+};
+}  // namespace
+
+void hy3d_weld_dedup(const float* verts, int64_t nv, const int32_t* faces,
+                     int64_t nf, float* out_verts, int64_t* out_nv,
+                     int32_t* out_faces, int64_t* out_nf) {
+  const uint32_t* vbits = reinterpret_cast<const uint32_t*>(verts);
+  OpenSet96 weld((size_t)nv);
+  std::vector<int32_t> remap(nv);
+  int64_t onv = 0;
+  for (int64_t i = 0; i < nv; ++i) {
+    bool fresh;
+    int32_t id = weld.get_or_insert(vbits[3 * i], vbits[3 * i + 1],
+                                    vbits[3 * i + 2], (int32_t)onv, &fresh);
+    if (fresh) {
+      out_verts[3 * onv] = verts[3 * i];
+      out_verts[3 * onv + 1] = verts[3 * i + 1];
+      out_verts[3 * onv + 2] = verts[3 * i + 2];
+      ++onv;
+    }
+    remap[i] = id;
+  }
+  OpenSet96 fset((size_t)nf);
+  int64_t onf = 0;
+  for (int64_t f = 0; f < nf; ++f) {
+    int32_t a = remap[faces[3 * f]], b = remap[faces[3 * f + 1]],
+            c = remap[faces[3 * f + 2]];
+    if (a == b || b == c || a == c) continue;
+    // zero-area test (float, matches the numpy twin's 1e-12 threshold)
+    const float *p0 = out_verts + 3 * a, *p1 = out_verts + 3 * b,
+                *p2 = out_verts + 3 * c;
+    float ux = p1[0] - p0[0], uy = p1[1] - p0[1], uz = p1[2] - p0[2];
+    float vx = p2[0] - p0[0], vy = p2[1] - p0[1], vz = p2[2] - p0[2];
+    float nx = uy * vz - uz * vy, ny = uz * vx - ux * vz,
+          nz = ux * vy - uy * vx;
+    if (std::sqrt((double)nx * nx + (double)ny * ny + (double)nz * nz) <=
+        1e-12)
+      continue;
+    // duplicate test on the sorted vertex set
+    int32_t s0 = a, s1 = b, s2 = c;
+    if (s0 > s1) std::swap(s0, s1);
+    if (s1 > s2) std::swap(s1, s2);
+    if (s0 > s1) std::swap(s0, s1);
+    bool fresh;
+    fset.get_or_insert((uint32_t)s0, (uint32_t)s1, (uint32_t)s2, (int32_t)onf,
+                       &fresh);
+    if (!fresh) continue;
+    out_faces[3 * onf] = a;
+    out_faces[3 * onf + 1] = b;
+    out_faces[3 * onf + 2] = c;
+    ++onf;
+  }
+  *out_nv = onv;
+  *out_nf = onf;
+}
+
+// ---------------------------------------------------------------------------
+// Uniform vertex-cluster decimation: snap vertices to a `cell`-sized grid,
+// average each cluster, drop collapsed faces. O(N) pre-pass that removes the
+// bulk of a dense surface-nets mesh before the exact quadric collapse
+// (490k→40k spent most of its time on trivial early collapses).
+// ---------------------------------------------------------------------------
+void hy3d_cluster_decimate(const float* verts, int64_t nv,
+                           const int32_t* faces, int64_t nf, double cell,
+                           float* out_verts, int64_t* out_nv,
+                           int32_t* out_faces, int64_t* out_nf) {
+  double ox = 1e300, oy = 1e300, oz = 1e300;
+  for (int64_t i = 0; i < nv; ++i) {
+    ox = std::min(ox, (double)verts[3 * i]);
+    oy = std::min(oy, (double)verts[3 * i + 1]);
+    oz = std::min(oz, (double)verts[3 * i + 2]);
+  }
+  const double inv = 1.0 / cell;
+  OpenSet96 cells((size_t)nv);
+  std::vector<int32_t> remap(nv);
+  std::vector<double> sum;  // [ncell*3] position accumulators
+  std::vector<int32_t> cnt;
+  sum.reserve(nv / 4 * 3);
+  cnt.reserve(nv / 4);
+  int64_t onc = 0;
+  for (int64_t i = 0; i < nv; ++i) {
+    uint32_t gx = (uint32_t)((verts[3 * i] - ox) * inv);
+    uint32_t gy = (uint32_t)((verts[3 * i + 1] - oy) * inv);
+    uint32_t gz = (uint32_t)((verts[3 * i + 2] - oz) * inv);
+    bool fresh;
+    int32_t id = cells.get_or_insert(gx, gy, gz, (int32_t)onc, &fresh);
+    if (fresh) {
+      sum.resize(3 * (onc + 1), 0.0);
+      cnt.resize(onc + 1, 0);
+      ++onc;
+    }
+    sum[3 * id] += verts[3 * i];
+    sum[3 * id + 1] += verts[3 * i + 1];
+    sum[3 * id + 2] += verts[3 * i + 2];
+    cnt[id]++;
+    remap[i] = id;
+  }
+  for (int64_t c = 0; c < onc; ++c) {
+    out_verts[3 * c] = (float)(sum[3 * c] / cnt[c]);
+    out_verts[3 * c + 1] = (float)(sum[3 * c + 1] / cnt[c]);
+    out_verts[3 * c + 2] = (float)(sum[3 * c + 2] / cnt[c]);
+  }
+  OpenSet96 fset((size_t)nf);
+  int64_t onf = 0;
+  for (int64_t f = 0; f < nf; ++f) {
+    int32_t a = remap[faces[3 * f]], b = remap[faces[3 * f + 1]],
+            c = remap[faces[3 * f + 2]];
+    if (a == b || b == c || a == c) continue;
+    int32_t s0 = a, s1 = b, s2 = c;
+    if (s0 > s1) std::swap(s0, s1);
+    if (s1 > s2) std::swap(s1, s2);
+    if (s0 > s1) std::swap(s0, s1);
+    bool fresh;
+    fset.get_or_insert((uint32_t)s0, (uint32_t)s1, (uint32_t)s2, (int32_t)onf,
+                       &fresh);
+    if (!fresh) continue;
+    out_faces[3 * onf] = a;
+    out_faces[3 * onf + 1] = b;
+    out_faces[3 * onf + 2] = c;
+    ++onf;
+  }
+  *out_nv = onc;
   *out_nf = onf;
 }
 

@@ -289,9 +289,14 @@ class HunyuanPaintPipeline:
                     position_latents.astype(jnp.bfloat16),
                     cam_gen, cam_ref, jnp.asarray(timesteps), jnp.asarray(ac),
                     jnp.asarray(position01), grids)
-                images_u8 = np.asarray(images_u8)   # uint8 over the tunnel
+                if output_type != "device":
+                    images_u8 = np.asarray(images_u8)  # uint8 over the tunnel
             if output_type == "pil":
                 out = [Image.fromarray(im) for im in images_u8]
+            elif output_type == "device":
+                # device uint8 [N,H,W,3]: the caller overlaps host work with
+                # the TPU denoise and fetches via np.asarray when needed
+                out = images_u8
             else:
                 out = images_u8.astype(np.float32) / 255.0
 
@@ -322,10 +327,13 @@ class HunyuanPaintPipeline:
                 position_latents.astype(jnp.bfloat16),
                 cam_gen, cam_ref, jnp.asarray(timesteps), jnp.asarray(sigmas),
                 float(guidance_scale), do_cfg)
-            images_u8 = np.asarray(images_u8)       # uint8 over the tunnel
+            if output_type != "device":
+                images_u8 = np.asarray(images_u8)   # uint8 over the tunnel
 
         if output_type == "pil":
             out = [Image.fromarray(im) for im in images_u8]
+        elif output_type == "device":
+            out = images_u8
         else:
             out = images_u8.astype(np.float32) / 255.0
 

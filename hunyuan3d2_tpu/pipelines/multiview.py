@@ -25,7 +25,8 @@ class Multiview_Diffusion_Net:
         if config.pipe_name == "hunyuanpaint-turbo":
             self.pipeline.set_turbo(True)
 
-    def __call__(self, input_images, control_images: List, camera_info: List[int]):
+    def __call__(self, input_images, control_images: List, camera_info: List[int],
+                 output_type: str = "pil"):
         if not isinstance(input_images, list):
             input_images = [input_images]
         size = self.view_size
@@ -51,5 +52,6 @@ class Multiview_Diffusion_Net:
             position_imgs=position_image,
             num_inference_steps=self.num_inference_steps,
             key=jax.random.PRNGKey(0),   # seeded to 0 (parity :53-63)
+            output_type=output_type,
         )
         return result.images

@@ -200,16 +200,49 @@ class Hunyuan3DPaintPipeline:
         camera_info = [camera_info_index(azim, elev)
                        for azim, elev in zip(azims, elevs)]
 
-        with timed_scope("Multiview Diffusion"):
-            multiviews = self.models["multiview_model"](
-                images_prompt, normal_maps + position_maps, camera_info)
-
-        multiviews = [mv.resize((self.config.render_size, self.config.render_size))
-                      for mv in multiviews]
-
-        with timed_scope("Texture Baking"):
-            texture, mask = self.bake_from_multiview(
-                multiviews, elevs, azims, weights, method=self.config.merge_method)
+        # Overlap host and TPU: the diffusion dispatch is async, so the
+        # color-independent bake geometry (per-view raster + reliability
+        # masks at render_size) is computed WHILE the UNet denoises; only
+        # fetching the uint8 views blocks. The views are then splatted at
+        # their native size (the kernel samples them at raster scale — the
+        # reference's 512→2048 upsample never materializes).
+        overlap = self.config.merge_method == "fast"
+        if overlap:
+            with timed_scope("Multiview Diffusion (dispatch)"):
+                device_views = self.models["multiview_model"](
+                    images_prompt, normal_maps + position_maps, camera_info,
+                    output_type="device")
+            with timed_scope("Bake Geometry (overlaps denoise)"):
+                geometry = self.render.prepare_bake_geometry(elevs, azims)
+            if geometry is not None:
+                with timed_scope("Multiview Fetch"):
+                    views_u8 = np.asarray(device_views)
+                with timed_scope("Texture Baking"):
+                    texture, mask = self.render.bake_texture_prepared(
+                        views_u8, geometry, exp=self.config.bake_exp,
+                        weights=list(weights))
+            else:
+                # per-corner UVs: fall back to the full-res fused path
+                views_u8 = np.asarray(device_views)
+                multiviews = [
+                    Image.fromarray(v).resize(
+                        (self.config.render_size, self.config.render_size))
+                    for v in views_u8]
+                with timed_scope("Texture Baking"):
+                    texture, mask = self.bake_from_multiview(
+                        multiviews, elevs, azims, weights,
+                        method=self.config.merge_method)
+        else:
+            with timed_scope("Multiview Diffusion"):
+                multiviews = self.models["multiview_model"](
+                    images_prompt, normal_maps + position_maps, camera_info)
+            multiviews = [
+                mv.resize((self.config.render_size, self.config.render_size))
+                for mv in multiviews]
+            with timed_scope("Texture Baking"):
+                texture, mask = self.bake_from_multiview(
+                    multiviews, elevs, azims, weights,
+                    method=self.config.merge_method)
         mask_np = (mask[..., 0] * 255).astype(np.uint8)
 
         with timed_scope("Texture Inpaint"):

@@ -45,6 +45,51 @@ def test_degenerate_face_remover():
     assert len(out.vertices) == 3
 
 
+def test_weld_dedup_matches_numpy_twin():
+    rng = np.random.RandomState(0)
+    base = rng.rand(200, 3).astype(np.float32)
+    # duplicate a third of the vertices exactly
+    v = np.concatenate([base, base[:70]]).astype(np.float32)
+    f = rng.randint(0, len(v), (400, 3)).astype(np.int32)
+    out_v, out_f = native.weld_dedup(v, f)
+    # numpy twin
+    uniq, inv = np.unique(v, axis=0, return_inverse=True)
+    g = inv[f].astype(np.int32)
+    ok = (g[:, 0] != g[:, 1]) & (g[:, 1] != g[:, 2]) & (g[:, 0] != g[:, 2])
+    g = g[ok]
+    e1 = uniq[g[:, 1]] - uniq[g[:, 0]]
+    e2 = uniq[g[:, 2]] - uniq[g[:, 0]]
+    g = g[np.linalg.norm(np.cross(e1, e2), axis=1) > 1e-12]
+    key = np.sort(g, axis=1)
+    _, first = np.unique(key, axis=0, return_index=True)
+    g = g[np.sort(first)]
+    assert len(out_v) == len(uniq)
+    assert len(out_f) == len(g)
+    # same face sets (orderings differ: ours keeps first occurrence of
+    # original vertex order, numpy sorts) — compare welded positions per face
+    ours = np.sort(out_v[out_f].reshape(len(out_f), -1), axis=1)
+    ref = np.sort(uniq[g].reshape(len(g), -1), axis=1)
+    assert np.allclose(np.sort(ours, axis=0), np.sort(ref, axis=0))
+
+
+def test_cluster_decimate_sphere():
+    m = _sphere_mesh(res=96)
+    v, f = native.cluster_decimate(m.vertices, m.faces, 0.08)
+    assert len(f) < len(m.faces) * 0.2
+    r = np.linalg.norm(v, axis=1)
+    assert abs(r.mean() - 0.6) < 0.03
+
+
+def test_face_reducer_large_input_uses_cluster_prepass():
+    m = _sphere_mesh(res=128)
+    assert len(m.faces) > 8 * 2000
+    out = FaceReducer()(m, max_facenum=2000)
+    assert len(out.faces) <= 2200
+    r = np.linalg.norm(out.vertices, axis=1)
+    assert abs(r.mean() - 0.6) < 0.03
+    assert r.std() < 0.03
+
+
 def test_face_reducer_preserves_shape():
     m = _sphere_mesh()
     out = FaceReducer()(m, max_facenum=800)

@@ -137,6 +137,40 @@ def test_bake_texture_fused_matches_retained_merge():
     assert (fus_mask == ref_mask).all()
 
 
+def test_bake_texture_prepared_matches_fused_with_bilinear_upsample():
+    """prepare_bake_geometry + bake_texture_prepared (native-size uint8
+    views, sampled at raster scale inside the kernel) must match
+    bake_texture_fused fed the PIL-BILINEAR-upsampled views — up to the
+    uint8 rounding the explicit upsample introduces."""
+    from PIL import Image
+
+    m = mesh_uv_wrap(_sphere_mesh())
+    r = MeshRender(default_resolution=160, texture_size=96)
+    r.load_mesh(m)
+    views = [(0, 0), (0, 90), (0, 180), (0, 270), (90, 0), (-90, 180)]
+    rng = np.random.RandomState(1)
+    native_u8 = [rng.randint(0, 256, (80, 80, 3), dtype=np.uint8)
+                 for _ in views]
+    weights = [1, 0.1, 0.5, 0.1, 0.05, 0.05]
+    elevs = [e for e, _ in views]
+    azims = [a for _, a in views]
+
+    up = [np.asarray(Image.fromarray(v).resize((160, 160), Image.BILINEAR),
+                     dtype=np.float32) / 255.0 for v in native_u8]
+    ref_tex, ref_mask = r.bake_texture_fused(up, elevs, azims, exp=4,
+                                             weights=weights)
+
+    geom = r.prepare_bake_geometry(elevs, azims)
+    assert geom is not None and len(geom) == len(views)
+    new_tex, new_mask = r.bake_texture_prepared(
+        np.stack(native_u8), geom, exp=4, weights=weights)
+    assert (new_mask == ref_mask).all()
+    np.testing.assert_allclose(new_tex, ref_tex, atol=0.02)
+    # trusted texels should agree much tighter on average
+    diff = np.abs(new_tex - ref_tex)[ref_mask[..., 0]]
+    assert diff.mean() < 0.004
+
+
 def test_pushpull_fill_preserves_known_texels():
     from hunyuan3d2_tpu import native
 
