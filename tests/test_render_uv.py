@@ -216,7 +216,10 @@ def test_uv_seam_metric_recorded():
     ratio = seam_len / max(np.sqrt(area), 1e-9)
     print(f"uv seam ratio (len/sqrt(area)): {ratio:.2f}, "
           f"boundary edges: {len(boundary)}")
-    assert ratio < 25.0, ratio  # post-smoothing bound; xatlas-class is ~3-6
+    # region-growing + merge charting scores ~10 here (axis bucketing was
+    # 12.7, pre-smoothing 29). xatlas-class is ~3-6 (geodesic boundaries);
+    # the bound is a regression guard.
+    assert ratio < 14.0, ratio
 
     # uv-space stretch: ratio of 3D to UV triangle areas should be roughly
     # uniform within a chart — record the spread
