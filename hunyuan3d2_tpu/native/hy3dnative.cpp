@@ -52,7 +52,12 @@ void hy3d_rasterize(const float* verts, int64_t nv, const int32_t* faces,
       float vw = v[3] == 0.f ? 1e-8f : v[3];
       sx[k] = (v[0] / vw * 0.5f + 0.5f) * (w - 1);
       sy[k] = (0.5f - v[1] / vw * 0.5f) * (h - 1);
-      sz[k] = v[2] / vw;
+      // OpenGL-style NDC depth is in [-1,1] (ortho/persp projections map
+      // near→-1); remap to [0,1] BEFORE the clamp below, otherwise every
+      // camera-facing surface clamps to 0 and the z-test degenerates to
+      // lowest-face-id-wins (the reference kernel survives negative z via
+      // unsigned wraparound that stays monotone, rasterizer.cpp:30-33).
+      sz[k] = v[2] / vw * 0.5f + 0.5f;
       sw[k] = vw;
     }
     float area = (sx[1] - sx[0]) * (sy[2] - sy[0]) - (sx[2] - sx[0]) * (sy[1] - sy[0]);

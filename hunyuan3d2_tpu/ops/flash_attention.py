@@ -21,8 +21,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-DEFAULT_BQ = 256
-DEFAULT_BK = 256
+# Block sizes tuned on v5e (scripts/profile_flash_blocks.py): at the paint
+# UNet's multiview shape (24576 tokens, 5 heads, D=64) 512×1024 runs ~3.5x
+# faster than 256×256 once the ~28 ms remote-dispatch floor is subtracted;
+# smaller shapes are insensitive. VMEM at 512/1024/D=128 stays < 1 MB.
+DEFAULT_BQ = 512
+DEFAULT_BK = 1024
 NEG_INF = -1e30
 
 

@@ -258,6 +258,8 @@ class HunyuanPaintPipeline:
                           for im in image])[None]
 
         def _stack_views(lst):
+            if isinstance(lst, jax.Array):
+                return lst[None]     # device uint8 [1, N, H, W, 3]
             views = lst[0] if isinstance(lst[0], list) else lst
             return np.stack([_pil_to_array_u8(v, size) for v in views])[None]
 

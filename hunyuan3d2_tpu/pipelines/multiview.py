@@ -25,22 +25,28 @@ class Multiview_Diffusion_Net:
         if config.pipe_name == "hunyuanpaint-turbo":
             self.pipeline.set_turbo(True)
 
-    def __call__(self, input_images, control_images: List, camera_info: List[int],
+    def __call__(self, input_images, control_images, camera_info: List[int],
                  output_type: str = "pil"):
         if not isinstance(input_images, list):
             input_images = [input_images]
         size = self.view_size
         input_images = [im.resize((size, size)) for im in input_images]
-        control = []
-        for im in control_images:
-            im = im.resize((size, size))
-            if im.mode == "L":
-                im = im.point(lambda x: 255 if x > 1 else 0, mode="1")
-            control.append(im)
+        if isinstance(control_images, tuple):
+            # device path: (normal, position) uint8 [N, size, size, 3] jax
+            # arrays straight from cond_maps_tpu — no host round trip
+            normal_image, position_image = control_images
+            num_view = normal_image.shape[0]
+        else:
+            control = []
+            for im in control_images:
+                im = im.resize((size, size))
+                if im.mode == "L":
+                    im = im.point(lambda x: 255 if x > 1 else 0, mode="1")
+                control.append(im)
 
-        num_view = len(control) // 2
-        normal_image = [[control[i] for i in range(num_view)]]
-        position_image = [[control[i + num_view] for i in range(num_view)]]
+            num_view = len(control) // 2
+            normal_image = [[control[i] for i in range(num_view)]]
+            position_image = [[control[i + num_view] for i in range(num_view)]]
 
         result = self.pipeline(
             input_images,

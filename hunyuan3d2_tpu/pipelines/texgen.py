@@ -164,6 +164,61 @@ class Hunyuan3DPaintPipeline:
         """Parity: texgen/pipelines.py:161-166."""
         return self.render.uv_inpaint(texture, mask)
 
+    def _call_device(self, images_prompt, elevs, azims, weights):
+        """Fully device-resident texture stage (TPU): cond-map renders, the
+        diffusion denoise, and the texture bake all run on the chip via the
+        Pallas rasterizer (geometry/render_tpu.py) — the only texture-sized
+        host transfer is the final baked atlas. Returns None (→ host path)
+        off-TPU, for per-corner-UV meshes, or when HY3D_DEVICE_BAKE=0."""
+        import os
+
+        import jax
+
+        if os.environ.get("HY3D_DEVICE_BAKE", "1") != "1":
+            return None
+        if jax.default_backend() != "tpu":
+            return None
+        from hunyuan3d2_tpu.geometry.render_tpu import (
+            bake_tpu,
+            cond_maps_tpu,
+            upload_mesh,
+        )
+
+        dev_mesh = upload_mesh(self.render, need_uv=True)
+        if dev_mesh is None:
+            return None
+        import jax.numpy as jnp
+
+        mvs = np.stack([self.render._mvp(e, a)[0]
+                        for e, a in zip(elevs, azims)]).astype(np.float32)
+        mvps = np.stack([self.render._mvp(e, a)[1]
+                         for e, a in zip(elevs, azims)]).astype(np.float32)
+        mvps_d = jnp.asarray(mvps)
+        cond_res = getattr(self.models["multiview_model"], "view_size", 512)
+        with timed_scope("Cond Maps (device)"):
+            normal_dev, position_dev = cond_maps_tpu(dev_mesh, mvps_d,
+                                                     cond_res)
+        camera_info = [camera_info_index(azim, elev)
+                       for azim, elev in zip(azims, elevs)]
+        with timed_scope("Multiview Diffusion (device)"):
+            device_views = self.models["multiview_model"](
+                images_prompt, (normal_dev, position_dev), camera_info,
+                output_type="device")
+        with timed_scope("Texture Baking (device)"):
+            texture_d, trust_d = bake_tpu(
+                dev_mesh, jnp.asarray(mvs), mvps_d, device_views,
+                jnp.asarray(weights, jnp.float32),
+                render_res=max(self.render.default_resolution),
+                tex_res=self.render.texture_size[0],
+                exp=float(self.config.bake_exp))
+            texture = np.asarray(texture_d)
+            mask = np.asarray(trust_d) > 1e-8
+        mask_np = (mask * 255).astype(np.uint8)
+        with timed_scope("Texture Inpaint"):
+            texture = self.texture_inpaint(texture, mask_np)
+        self.render.set_texture(texture)
+        return self.render.save_mesh()
+
     # -- main ------------------------------------------------------------------------
     def __call__(self, mesh, image):
         if not isinstance(image, list):
@@ -181,6 +236,10 @@ class Hunyuan3DPaintPipeline:
         elevs = self.config.candidate_camera_elevs
         azims = self.config.candidate_camera_azims
         weights = self.config.candidate_view_weights
+
+        device_out = self._call_device(images_prompt, elevs, azims, weights)
+        if device_out is not None:
+            return device_out
 
         # render the control maps at the diffusion view size directly (the
         # reference renders at 2048 then downsizes to 512 — same information,

@@ -56,10 +56,16 @@ def test_render_normal_and_position_sphere():
     assert nrm.shape == (128, 128, 4)
     mask = nrm[..., 3] > 0
     assert 0.1 < mask.mean() < 0.9
-    # front-facing pixels: normal z (camera space, mapped to [0,1]) > 0.5
+    # front-facing pixels: the axis remap (set_mesh) mirrors the winding, so
+    # interpolated normals of the NEAREST (visible) surface point away from
+    # the camera — nz_cam ≈ -1, i.e. (nz+1)/2 ≈ 0 — which is exactly what
+    # the bake's cos = -nz > 0 weighting (reference back_project lookat
+    # [0,0,-1], mesh_render.py:710-713) assumes. The old expectation
+    # (center[2] > 0.8) was an artifact of the pre-fix raster picking the
+    # BACK face (depth degenerated to 0 for OpenGL-style negative NDC z).
     center = nrm[64, 64]
     assert center[3] == 1.0
-    assert center[2] > 0.8  # facing the camera
+    assert center[2] < 0.2  # cos = -nz > 0.6: faces the camera
     pos = r.render_position(elev=0, azim=0, return_type="np")
     assert pos.shape == (128, 128, 4)
     assert np.abs(pos[..., :3][mask] - 0.5).max() < 0.6
