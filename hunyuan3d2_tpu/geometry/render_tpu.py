@@ -110,36 +110,144 @@ def upload_mesh(render, need_uv: bool = False) -> BakeMeshDev | None:
 
 
 @functools.partial(jax.jit, static_argnames=("res", "normalize_rgb"))
+def _cond_map_view(mesh: BakeMeshDev, mvp: Array, res: int,
+                   normalize_rgb: bool = True):
+    """One view's normal+position cond maps (uint8). Jitted per view so
+    the raster compiles ONCE and is reused for every camera — a single
+    program inlining all 6 views takes minutes to compile remotely."""
+    ones = jnp.ones((mesh.verts.shape[0], 1), jnp.float32)
+    vh = jnp.concatenate([mesh.verts, ones], axis=1)       # [V,4]
+    attrs = jnp.concatenate([mesh.normals, mesh.verts * 0.5 + 0.5], axis=1)
+    clip = vh @ mvp.T
+    out = rasterize_tpu(clip, mesh.faces, res, res)
+    amap = interpolate(out, mesh.faces, attrs)
+    mask = (out.face_id >= 0)[..., None]
+    nrm = amap[..., :3]
+    nrm = nrm / jnp.maximum(
+        jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+    if normalize_rgb:
+        nrm = (nrm + 1.0) * 0.5
+    nrm = jnp.where(mask, nrm, 1.0)
+    pos = jnp.where(mask, amap[..., 3:6], 1.0)
+    to_u8 = lambda x: jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    return to_u8(nrm), to_u8(pos)
+
+
 def cond_maps_tpu(mesh: BakeMeshDev, mvps: Array, res: int,
                   normalize_rgb: bool = True):
     """Normal (world, use_abs_coor) + position cond maps for all views on
     device: [N,res,res,3] uint8 each (bg white), ready for the SD VAE.
-    mvps: [N,4,4]."""
+    mvps: [N,4,4]. Python loop over views — one compiled program total."""
     n = mvps.shape[0]
-    ones = jnp.ones((mesh.verts.shape[0], 1), jnp.float32)
-    vh = jnp.concatenate([mesh.verts, ones], axis=1)       # [V,4]
-    attrs = jnp.concatenate([mesh.normals, mesh.verts * 0.5 + 0.5], axis=1)
-    normals, positions = [], []
-    for v in range(n):
-        clip = vh @ mvps[v].T
-        out = rasterize_tpu(clip, mesh.faces, res, res)
-        amap = interpolate(out, mesh.faces, attrs)
-        mask = (out.face_id >= 0)[..., None]
-        nrm = amap[..., :3]
-        nrm = nrm / jnp.maximum(
-            jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
-        if normalize_rgb:
-            nrm = (nrm + 1.0) * 0.5
-        nrm = jnp.where(mask, nrm, 1.0)
-        pos = jnp.where(mask, amap[..., 3:6], 1.0)
-        normals.append(nrm)
-        positions.append(pos)
-    to_u8 = lambda x: jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-    return to_u8(jnp.stack(normals)), to_u8(jnp.stack(positions))
+    outs = [_cond_map_view(mesh, mvps[v], res, normalize_rgb)
+            for v in range(n)]
+    return (jnp.stack([o[0] for o in outs]),
+            jnp.stack([o[1] for o in outs]))
+
+
+@functools.partial(jax.jit, static_argnames=("tex_res",))
+def _uv_geometry(mesh: BakeMeshDev, tex_res: int):
+    """UV-space raster → per-texel 3D position / normal / validity."""
+    V = mesh.verts.shape[0]
+    uvc = mesh.uv * 2.0 - 1.0
+    uv_clip = jnp.stack([uvc[:, 0], -uvc[:, 1], jnp.zeros((V,), jnp.float32),
+                         jnp.ones((V,), jnp.float32)], axis=1)
+    uv_out = rasterize_tpu(uv_clip, mesh.faces, tex_res, tex_res)
+    tex_attr = interpolate(uv_out, mesh.faces,
+                           jnp.concatenate([mesh.verts, mesh.normals], 1))
+    tex_pos = tex_attr[..., :3]                            # [T,T,3]
+    tex_nrm = tex_attr[..., 3:6]
+    tex_nrm = tex_nrm / jnp.maximum(
+        jnp.linalg.norm(tex_nrm, axis=-1, keepdims=True), 1e-12)
+    tex_valid = uv_out.face_id >= 0                        # [T,T]
+    return tex_pos, tex_nrm, tex_valid
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "render_res", "tex_res", "exp", "kernel_size"))
+    "render_res", "exp", "kernel_size"))
+def _bake_view_tpu(mesh: BakeMeshDev, tex_pos: Array, tex_nrm: Array,
+                   tex_valid: Array, mv: Array, mvp: Array, view_u8: Array,
+                   weight: Array, acc: Array, trust: Array, *,
+                   render_res: int, exp: float, cos_thres: float,
+                   kernel_size: int, depth_bias: float, edge_thresh: float):
+    """One view's bake step (compiled once, reused for every camera: a
+    single program inlining all views takes minutes to compile remotely).
+    Returns updated (acc, trust)."""
+    V = mesh.verts.shape[0]
+    ones = jnp.ones((V, 1), jnp.float32)
+    vh = jnp.concatenate([mesh.verts, ones], axis=1)
+    tex_pos_h = jnp.concatenate(
+        [tex_pos, jnp.ones(tex_pos.shape[:2] + (1,), jnp.float32)], axis=-1)
+
+    # view raster: depth + coverage → reliability masks (back_project
+    # parity: visibility erosion + dilated depth edges)
+    clip = vh @ mvp.T
+    rout = rasterize_tpu(clip, mesh.faces, render_res, render_res)
+    visible = (rout.face_id >= 0).astype(jnp.float32)
+    d = rout.depth
+    dsel = jnp.where(visible > 0, d, jnp.inf)
+    dmin = jnp.min(dsel)
+    dmax = jnp.max(jnp.where(visible > 0, d, -jnp.inf))
+    dnorm = (d - dmin) / jnp.maximum(dmax - dmin, 1e-12) * visible
+    edges = _sobel_edges(dnorm, edge_thresh).astype(jnp.float32)
+    inv_dil = _dilate_max(1.0 - visible, kernel_size)
+    edge_dil = _dilate_max(edges, kernel_size)
+    reliable = ((inv_dil <= 0.0) & (edge_dil < 0.5)).astype(jnp.float32)
+
+    # project texels into the view (host screen convention)
+    pclip = jnp.einsum("hwc,dc->hwd", tex_pos_h, mvp)
+    pw = jnp.where(pclip[..., 3] == 0.0, 1e-8, pclip[..., 3])
+    sx = (pclip[..., 0] / pw * 0.5 + 0.5) * (render_res - 1)   # col
+    sy = (0.5 - pclip[..., 1] / pw * 0.5) * (render_res - 1)   # row
+    tz = jnp.clip(pclip[..., 2] / pw * 0.5 + 0.5, 0.0, 1.0)
+    inb = ((sx >= 0) & (sx <= render_res - 1)
+           & (sy >= 0) & (sy <= render_res - 1))
+
+    # occlusion: compare against a 3×3 max-pooled z-buffer so surface
+    # curvature between raster samples doesn't self-occlude the texel
+    zmax = _dilate_max(jnp.where(visible > 0, d, 0.0), 3)
+
+    # ONE fused nearest gather for (zbuf | reliable | color): TPU gathers
+    # are the bake's bottleneck (~70-90 ms per 2048² 5-channel nearest vs
+    # ~250 ms per bilinear) — so the view color is first upsampled densely
+    # to the raster grid (bilinear, half-pixel centers — the same samples
+    # the host kernel takes) and all five channels are fetched with a
+    # single row gather at the texel's rounded projection.
+    color_r = jax.image.resize(view_u8.astype(jnp.float32),
+                               (render_res, render_res, view_u8.shape[-1]),
+                               "bilinear") / 255.0
+    comb = jnp.concatenate([zmax[..., None], reliable[..., None], color_r],
+                           axis=-1)
+    rx = jnp.clip(jnp.round(sy), 0, render_res - 1).astype(jnp.int32)
+    ry = jnp.clip(jnp.round(sx), 0, render_res - 1).astype(jnp.int32)
+    samp = comb.reshape(-1, comb.shape[-1])[
+        (rx * render_res + ry).reshape(-1)].reshape(sx.shape + (-1,))
+    zbuf = samp[..., 0]
+    occl_ok = tz <= zbuf + depth_bias
+    rel = samp[..., 1] > 0.5
+    color = samp[..., 2:]
+
+    # cosine between texel normal and the view direction (camera -z):
+    # camera-space normal z = (R @ n).z with R = rotation rows of mv
+    ncam_z = jnp.einsum("hwc,c->hw", tex_nrm, mv[2, :3])
+    cosang = -ncam_z
+    cosang = jnp.where(cosang < cos_thres, 0.0, cosang)
+
+    w = jnp.where(tex_valid & inb & occl_ok & rel,
+                  weight * jnp.power(cosang, exp), 0.0)
+
+    # reference fast_bake_texture skip: if >99% of this view's candidate
+    # texels are already painted, skip the view entirely
+    cand = (cosang > 0.0) & tex_valid & inb & occl_ok & rel
+    painted = jnp.sum((trust > 0.0) & cand)
+    total = jnp.maximum(jnp.sum(cand), 1)
+    keep = (painted.astype(jnp.float32)
+            / total.astype(jnp.float32)) <= 0.99
+    w = jnp.where(keep, w, 0.0)
+
+    return acc + w[..., None] * color, trust + w
+
+
 def bake_tpu(mesh: BakeMeshDev, mvs: Array, mvps: Array, views_u8: Array,
              weights: Array, *, render_res: int, tex_res: int,
              exp: float = 4.0, cos_thres: float = 0.2588,
@@ -152,89 +260,21 @@ def bake_tpu(mesh: BakeMeshDev, mvs: Array, mvps: Array, views_u8: Array,
     weights: [N] float per-view weights. cos_thres defaults to cos(75°).
     kernel_size=0 ⇒ the host's resolution-scaled erosion kernel
     (MeshRender.bake_unreliable_kernel_size).
+    Python loop over views with a per-view compiled step (the views are
+    sequentially dependent through the >99%-painted skip).
     Returns (texture [tex,tex,3] f32 in [0,1], trust [tex,tex] f32)."""
     if kernel_size <= 0:
         kernel_size = 2 * int((2 / 512) * render_res) + 1
     n = views_u8.shape[0]
-    V = mesh.verts.shape[0]
-    ones = jnp.ones((V, 1), jnp.float32)
-    vh = jnp.concatenate([mesh.verts, ones], axis=1)
-
-    # --- texel geometry from the UV-space raster -----------------------------
-    uvc = mesh.uv * 2.0 - 1.0
-    uv_clip = jnp.stack([uvc[:, 0], -uvc[:, 1], jnp.zeros((V,), jnp.float32),
-                         jnp.ones((V,), jnp.float32)], axis=1)
-    uv_out = rasterize_tpu(uv_clip, mesh.faces, tex_res, tex_res)
-    tex_attr = interpolate(uv_out, mesh.faces,
-                           jnp.concatenate([mesh.verts, mesh.normals], 1))
-    tex_pos = tex_attr[..., :3]                            # [T,T,3]
-    tex_nrm = tex_attr[..., 3:6]
-    tex_nrm = tex_nrm / jnp.maximum(
-        jnp.linalg.norm(tex_nrm, axis=-1, keepdims=True), 1e-12)
-    tex_valid = uv_out.face_id >= 0                        # [T,T]
-    tex_pos_h = jnp.concatenate(
-        [tex_pos, jnp.ones(tex_pos.shape[:2] + (1,), jnp.float32)], axis=-1)
-
+    tex_pos, tex_nrm, tex_valid = _uv_geometry(mesh, tex_res)
     acc = jnp.zeros((tex_res, tex_res, 3), jnp.float32)
     trust = jnp.zeros((tex_res, tex_res), jnp.float32)
-    vh_ = vh
+    weights = jnp.asarray(weights, jnp.float32)
     for v in range(n):
-        # view raster: depth + coverage → reliability masks (back_project
-        # parity: visibility erosion + dilated depth edges)
-        clip = vh_ @ mvps[v].T
-        rout = rasterize_tpu(clip, mesh.faces, render_res, render_res)
-        visible = (rout.face_id >= 0).astype(jnp.float32)
-        d = rout.depth
-        dsel = jnp.where(visible > 0, d, jnp.inf)
-        dmin = jnp.min(dsel)
-        dmax = jnp.max(jnp.where(visible > 0, d, -jnp.inf))
-        dnorm = (d - dmin) / jnp.maximum(dmax - dmin, 1e-12) * visible
-        edges = _sobel_edges(dnorm, edge_thresh).astype(jnp.float32)
-        inv_dil = _dilate_max(1.0 - visible, kernel_size)
-        edge_dil = _dilate_max(edges, kernel_size)
-        reliable = ((inv_dil <= 0.0) & (edge_dil < 0.5)).astype(jnp.float32)
-
-        # project texels into the view (host screen convention)
-        pclip = jnp.einsum("hwc,dc->hwd", tex_pos_h, mvps[v])
-        pw = jnp.where(pclip[..., 3] == 0.0, 1e-8, pclip[..., 3])
-        sx = (pclip[..., 0] / pw * 0.5 + 0.5) * (render_res - 1)   # col
-        sy = (0.5 - pclip[..., 1] / pw * 0.5) * (render_res - 1)   # row
-        tz = jnp.clip(pclip[..., 2] / pw * 0.5 + 0.5, 0.0, 1.0)
-        inb = ((sx >= 0) & (sx <= render_res - 1)
-               & (sy >= 0) & (sy <= render_res - 1))
-
-        # occlusion: compare against a 3×3 max-pooled z-buffer so surface
-        # curvature between raster samples doesn't self-occlude the texel
-        zmax = _dilate_max(jnp.where(visible > 0, d, 0.0), 3)
-        zbuf = _bilinear(zmax[..., None], sy, sx)[..., 0]
-        occl_ok = tz <= zbuf + depth_bias
-        rel = _bilinear(reliable[..., None], sy, sx)[..., 0] > 0.5
-
-        # cosine between texel normal and the view direction (camera -z):
-        # camera-space normal z = (R @ n).z with R = rotation rows of mv
-        ncam_z = jnp.einsum("hwc,c->hw", tex_nrm, mvs[v][2, :3])
-        cosang = -ncam_z
-        cosang = jnp.where(cosang < cos_thres, 0.0, cosang)
-
-        vs = views_u8.shape[1]
-        vx = (sy + 0.5) * (vs / render_res) - 0.5
-        vy = (sx + 0.5) * (views_u8.shape[2] / render_res) - 0.5
-        color = _bilinear(views_u8[v].astype(jnp.float32), vx, vy) / 255.0
-
-        w = jnp.where(tex_valid & inb & occl_ok & rel,
-                      weights[v] * jnp.power(cosang, exp), 0.0)
-
-        # reference fast_bake_texture skip: if >99% of this view's candidate
-        # texels are already painted, skip the view entirely
-        cand = (cosang > 0.0) & tex_valid & inb & occl_ok & rel
-        painted = jnp.sum((trust > 0.0) & cand)
-        total = jnp.maximum(jnp.sum(cand), 1)
-        keep = (painted.astype(jnp.float32)
-                / total.astype(jnp.float32)) <= 0.99
-        w = jnp.where(keep, w, 0.0)
-
-        acc = acc + w[..., None] * color
-        trust = trust + w
-
+        acc, trust = _bake_view_tpu(
+            mesh, tex_pos, tex_nrm, tex_valid, mvs[v], mvps[v], views_u8[v],
+            weights[v], acc, trust, render_res=render_res, exp=float(exp),
+            cos_thres=float(cos_thres), kernel_size=kernel_size,
+            depth_bias=float(depth_bias), edge_thresh=float(edge_thresh))
     texture = acc / jnp.maximum(trust, 1e-8)[..., None]
     return texture, trust
