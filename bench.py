@@ -127,6 +127,12 @@ def main():
         )
         from hunyuan3d2_tpu.pipelines.texgen import Hunyuan3DPaintPipeline
 
+        # free the shape-stage device fixtures and offload the shape models
+        # to host before the paint stack loads (the tunnel's HBM quota does
+        # not fit both stages' params + workspaces; the reference does the
+        # same with accelerate CPU offload in low_vram_mode)
+        del sphere_dev
+        pipe.offload_to_host()
         paint = Hunyuan3DPaintPipeline.init_random(
             jax.random.PRNGKey(1), size="full", view_size=512,
             render_size=2048, texture_size=2048, num_inference_steps=5)

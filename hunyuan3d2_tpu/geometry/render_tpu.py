@@ -164,15 +164,18 @@ def _uv_geometry(mesh: BakeMeshDev, tex_res: int):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "render_res", "exp", "kernel_size"))
-def _bake_view_tpu(mesh: BakeMeshDev, tex_pos: Array, tex_nrm: Array,
-                   tex_valid: Array, mv: Array, mvp: Array, view_u8: Array,
-                   weight: Array, acc: Array, trust: Array, *,
-                   render_res: int, exp: float, cos_thres: float,
-                   kernel_size: int, depth_bias: float, edge_thresh: float):
-    """One view's bake step (compiled once, reused for every camera: a
-    single program inlining all views takes minutes to compile remotely).
-    Returns updated (acc, trust)."""
+    "render_res", "exp", "up_res", "kernel_size"))
+def _bake_view_geom(mesh: BakeMeshDev, tex_pos: Array, tex_nrm: Array,
+                    tex_valid: Array, mv: Array, mvp: Array,
+                    weight: Array, *, render_res: int, up_res: int,
+                    exp: float, cos_thres: float, kernel_size: int,
+                    depth_bias: float, edge_thresh: float):
+    """Color-independent half of one view's bake (compiled once, reused for
+    every camera): raster + reliability masks + texel projection →
+    per-texel weight, candidate mask, and the sampling index into the
+    up_res-upsampled view. Runs BEFORE the diffusion finishes (it only
+    needs the mesh and camera), keeping the post-denoise phase tiny —
+    the device twin of MeshRender.prepare_bake_geometry."""
     V = mesh.verts.shape[0]
     ones = jnp.ones((V, 1), jnp.float32)
     vh = jnp.concatenate([mesh.verts, ones], axis=1)
@@ -204,28 +207,17 @@ def _bake_view_tpu(mesh: BakeMeshDev, tex_pos: Array, tex_nrm: Array,
            & (sy >= 0) & (sy <= render_res - 1))
 
     # occlusion: compare against a 3×3 max-pooled z-buffer so surface
-    # curvature between raster samples doesn't self-occlude the texel
+    # curvature between raster samples doesn't self-occlude the texel;
+    # zbuf + reliability fetched with ONE nearest row gather (TPU gathers
+    # are the bake's bottleneck)
     zmax = _dilate_max(jnp.where(visible > 0, d, 0.0), 3)
-
-    # ONE fused nearest gather for (zbuf | reliable | color): TPU gathers
-    # are the bake's bottleneck (~70-90 ms per 2048² 5-channel nearest vs
-    # ~250 ms per bilinear) — so the view color is first upsampled densely
-    # to the raster grid (bilinear, half-pixel centers — the same samples
-    # the host kernel takes) and all five channels are fetched with a
-    # single row gather at the texel's rounded projection.
-    color_r = jax.image.resize(view_u8.astype(jnp.float32),
-                               (render_res, render_res, view_u8.shape[-1]),
-                               "bilinear") / 255.0
-    comb = jnp.concatenate([zmax[..., None], reliable[..., None], color_r],
-                           axis=-1)
+    comb = jnp.stack([zmax, reliable], axis=-1)
     rx = jnp.clip(jnp.round(sy), 0, render_res - 1).astype(jnp.int32)
     ry = jnp.clip(jnp.round(sx), 0, render_res - 1).astype(jnp.int32)
-    samp = comb.reshape(-1, comb.shape[-1])[
-        (rx * render_res + ry).reshape(-1)].reshape(sx.shape + (-1,))
-    zbuf = samp[..., 0]
-    occl_ok = tz <= zbuf + depth_bias
+    samp = comb.reshape(-1, 2)[(rx * render_res + ry).reshape(-1)].reshape(
+        sx.shape + (2,))
+    occl_ok = tz <= samp[..., 0] + depth_bias
     rel = samp[..., 1] > 0.5
-    color = samp[..., 2:]
 
     # cosine between texel normal and the view direction (camera -z):
     # camera-space normal z = (R @ n).z with R = rotation rows of mv
@@ -235,17 +227,69 @@ def _bake_view_tpu(mesh: BakeMeshDev, tex_pos: Array, tex_nrm: Array,
 
     w = jnp.where(tex_valid & inb & occl_ok & rel,
                   weight * jnp.power(cosang, exp), 0.0)
-
-    # reference fast_bake_texture skip: if >99% of this view's candidate
-    # texels are already painted, skip the view entirely
     cand = (cosang > 0.0) & tex_valid & inb & occl_ok & rel
+
+    # sampling index into the up_res-upsampled view at the texel's
+    # projection (half-pixel-center mapping, like the host's u8 sampler)
+    ux = jnp.clip(jnp.round((sy + 0.5) * (up_res / render_res) - 0.5),
+                  0, up_res - 1).astype(jnp.int32)
+    uy = jnp.clip(jnp.round((sx + 0.5) * (up_res / render_res) - 0.5),
+                  0, up_res - 1).astype(jnp.int32)
+    return w, cand, ux * up_res + uy
+
+
+@functools.partial(jax.jit, static_argnames=("up_res",),
+                   donate_argnames=("acc", "trust"))
+def _bake_view_accum(view_u8: Array, w: Array, cand: Array, idx: Array,
+                     acc: Array, trust: Array, *, up_res: int):
+    """Color half of one view's bake: upsample the diffusion view, gather
+    per-texel colors at the precomputed indices, apply the reference's
+    >99%-painted view skip, accumulate."""
+    up = jax.image.resize(view_u8.astype(jnp.float32),
+                          (up_res, up_res, view_u8.shape[-1]),
+                          "bilinear") / 255.0
+    color = up.reshape(-1, up.shape[-1])[idx.reshape(-1)].reshape(
+        idx.shape + (-1,))
     painted = jnp.sum((trust > 0.0) & cand)
     total = jnp.maximum(jnp.sum(cand), 1)
-    keep = (painted.astype(jnp.float32)
-            / total.astype(jnp.float32)) <= 0.99
-    w = jnp.where(keep, w, 0.0)
+    keep = (painted.astype(jnp.float32) / total.astype(jnp.float32)) <= 0.99
+    wk = jnp.where(keep, w, 0.0)
+    return acc + wk[..., None] * color, trust + wk
 
-    return acc + w[..., None] * color, trust + w
+
+def prepare_bake_tpu(mesh: BakeMeshDev, mvs: Array, mvps: Array, weights,
+                     *, render_res: int, tex_res: int, up_res: int = 1024,
+                     exp: float = 4.0, cos_thres: float = 0.2588,
+                     kernel_size: int = 0, depth_bias: float = 2e-4,
+                     edge_thresh: float = 0.25):
+    """Phase A of the device bake: UV geometry + per-view weights/indices.
+    Independent of the view colors, so the paint pipeline dispatches it
+    while the diffusion denoises. Returns an opaque geometry list."""
+    if kernel_size <= 0:
+        kernel_size = 2 * int((2 / 512) * render_res) + 1
+    tex_pos, tex_nrm, tex_valid = _uv_geometry(mesh, tex_res)
+    weights = jnp.asarray(weights, jnp.float32)
+    geom = []
+    for v in range(mvs.shape[0]):
+        geom.append(_bake_view_geom(
+            mesh, tex_pos, tex_nrm, tex_valid, mvs[v], mvps[v], weights[v],
+            render_res=render_res, up_res=up_res, exp=float(exp),
+            cos_thres=float(cos_thres), kernel_size=kernel_size,
+            depth_bias=float(depth_bias), edge_thresh=float(edge_thresh)))
+    return geom
+
+
+def bake_tpu_prepared(geom, views_u8: Array, tex_res: int,
+                      up_res: int = 1024):
+    """Phase B: accumulate the diffusion views through the prepared
+    geometry. Returns (texture, trust)."""
+    acc = jnp.zeros((tex_res, tex_res, 3), jnp.float32)
+    trust = jnp.zeros((tex_res, tex_res), jnp.float32)
+    for v, (w, cand, idx) in enumerate(geom):
+        acc, trust = _bake_view_accum(views_u8[v], w, cand, idx, acc, trust,
+                                      up_res=up_res)
+    texture = acc / jnp.maximum(trust, 1e-8)[..., None]
+    return texture, trust
 
 
 def bake_tpu(mesh: BakeMeshDev, mvs: Array, mvps: Array, views_u8: Array,
@@ -260,21 +304,13 @@ def bake_tpu(mesh: BakeMeshDev, mvs: Array, mvps: Array, views_u8: Array,
     weights: [N] float per-view weights. cos_thres defaults to cos(75°).
     kernel_size=0 ⇒ the host's resolution-scaled erosion kernel
     (MeshRender.bake_unreliable_kernel_size).
-    Python loop over views with a per-view compiled step (the views are
-    sequentially dependent through the >99%-painted skip).
+    Convenience wrapper over prepare_bake_tpu + bake_tpu_prepared (the
+    paint pipeline calls the two phases separately to overlap phase A with
+    the diffusion).
     Returns (texture [tex,tex,3] f32 in [0,1], trust [tex,tex] f32)."""
-    if kernel_size <= 0:
-        kernel_size = 2 * int((2 / 512) * render_res) + 1
-    n = views_u8.shape[0]
-    tex_pos, tex_nrm, tex_valid = _uv_geometry(mesh, tex_res)
-    acc = jnp.zeros((tex_res, tex_res, 3), jnp.float32)
-    trust = jnp.zeros((tex_res, tex_res), jnp.float32)
-    weights = jnp.asarray(weights, jnp.float32)
-    for v in range(n):
-        acc, trust = _bake_view_tpu(
-            mesh, tex_pos, tex_nrm, tex_valid, mvs[v], mvps[v], views_u8[v],
-            weights[v], acc, trust, render_res=render_res, exp=float(exp),
-            cos_thres=float(cos_thres), kernel_size=kernel_size,
-            depth_bias=float(depth_bias), edge_thresh=float(edge_thresh))
-    texture = acc / jnp.maximum(trust, 1e-8)[..., None]
-    return texture, trust
+    up_res = max(views_u8.shape[1], min(1024, 2 * views_u8.shape[1]))
+    geom = prepare_bake_tpu(mesh, mvs, mvps, weights, render_res=render_res,
+                            tex_res=tex_res, up_res=up_res, exp=exp,
+                            cos_thres=cos_thres, kernel_size=kernel_size,
+                            depth_bias=depth_bias, edge_thresh=edge_thresh)
+    return bake_tpu_prepared(geom, views_u8, tex_res, up_res=up_res)

@@ -86,8 +86,13 @@ def compute_voxel_grid_mask(position: Array, grid_resolution: int) -> Array:
     grid_pos = pos / jnp.maximum(cnt, 1.0)
     grid_pos = jnp.where(cnt < 5, 0.0, grid_pos)                 # [B,N,g,g,3]
     flat = grid_pos.reshape(b, n * g * g, 3)
-    d = jnp.linalg.norm(flat[:, :, None, :] - flat[:, None, :, :], axis=-1)
-    return d < (1.73 / g)
+    # |a-b|² = |a|² + |b|² - 2a·b as a matmul: avoids the [B,L,L,3]
+    # broadcast temporary (453 MB at g=32, N=6) — peak HBM matters when the
+    # full paint stack is resident
+    sq = jnp.sum(flat * flat, axis=-1)
+    d2 = (sq[:, :, None] + sq[:, None, :]
+          - 2.0 * jnp.einsum("bld,bmd->blm", flat, flat))
+    return d2 < (1.73 / g) ** 2
 
 
 def compute_multi_resolution_mask(position_maps: Array,

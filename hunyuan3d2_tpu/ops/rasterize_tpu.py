@@ -268,9 +268,15 @@ def rasterize_tpu(verts: Array, faces: Array, h: int, w: int, *,
 
 def interpolate(out: RasterOut, faces: Array, attrs: Array) -> Array:
     """Barycentric attribute interpolation: [V,C] attrs → [h,w,C]
-    (0 where empty), matching hy3d_rasterize_interp."""
+    (0 where empty), matching hy3d_rasterize_interp.
+
+    Per-corner multiply-add, NOT an einsum: a "hwk,hwkc->hwc" contraction
+    lowers to h·w tiny batched matmuls that each pad to MXU tiles —
+    ~17 GB of padding at 2048² (observed as RESOURCE_EXHAUSTED)."""
     safe_fid = jnp.maximum(out.face_id, 0)
     tri = faces[safe_fid]                                   # [h,w,3]
-    va = attrs[tri]                                         # [h,w,3,C]
-    img = jnp.einsum("hwk,hwkc->hwc", out.bary, va.astype(jnp.float32))
+    attrs = attrs.astype(jnp.float32)
+    img = attrs[tri[..., 0]] * out.bary[..., 0:1]
+    img = img + attrs[tri[..., 1]] * out.bary[..., 1:2]
+    img = img + attrs[tri[..., 2]] * out.bary[..., 2:3]
     return jnp.where((out.face_id >= 0)[..., None], img, 0.0)

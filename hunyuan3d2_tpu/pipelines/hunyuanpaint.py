@@ -130,7 +130,13 @@ def _denoise_loop(unet_params, ucfg, vae_params, vcfg, key,
         return (lat, key), None
 
     (latents, _), _ = jax.lax.scan(body, (latents, key), jnp.arange(n_steps))
-    images = sd_vae.decode(vae_params, vcfg, latents[0].astype(jnp.bfloat16))
+    # decode views one at a time (lax.map): the 512² decoder activations for
+    # six views at once peak at multiple GB of HBM — sequential decode cuts
+    # the peak 6x for the same total compute
+    images = jax.lax.map(
+        lambda z: sd_vae.decode(vae_params, vcfg,
+                                z[None].astype(jnp.bfloat16))[0],
+        latents[0])
     # quantize ON DEVICE: uint8 crosses the tunnel (4x less than fp32)
     img01 = jnp.clip(images.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
     return jnp.round(img01 * 255.0).astype(jnp.uint8)
@@ -184,7 +190,13 @@ def _denoise_loop_lcm(unet_params, ucfg, vae_params, vcfg, key,
         return (lat, key), None
 
     (latents, _), _ = jax.lax.scan(body, (latents, key), jnp.arange(n_steps))
-    images = sd_vae.decode(vae_params, vcfg, latents[0].astype(jnp.bfloat16))
+    # decode views one at a time (lax.map): the 512² decoder activations for
+    # six views at once peak at multiple GB of HBM — sequential decode cuts
+    # the peak 6x for the same total compute
+    images = jax.lax.map(
+        lambda z: sd_vae.decode(vae_params, vcfg,
+                                z[None].astype(jnp.bfloat16))[0],
+        latents[0])
     img01 = jnp.clip(images.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
     return jnp.round(img01 * 255.0).astype(jnp.uint8)
 

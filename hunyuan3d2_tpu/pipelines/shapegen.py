@@ -184,14 +184,44 @@ class Hunyuan3DDiTPipeline:
         just warms the caches by no-op."""
         return self
 
+    def _param_trees(self):
+        trees = {"model": self.model_params, "vae": self.vae.params,
+                 "cond": self.conditioner.main.params}
+        additional = getattr(self.conditioner, "additional", None)
+        if additional is not None:
+            trees["cond2"] = additional.params
+        return trees
+
+    def _set_param_trees(self, trees):
+        self.model_params = trees["model"]
+        self.vae.params = trees["vae"]
+        self.conditioner.main.params = trees["cond"]
+        if "cond2" in trees:
+            self.conditioner.additional.params = trees["cond2"]
+
+    def offload_to_host(self):
+        """Move every parameter tree to host memory (numpy), freeing HBM —
+        the TPU equivalent of the reference's accelerate CPU offload
+        (pipelines.py:330-398): on a shared/quota'd chip the shape stack
+        (DiT + ShapeVAE + DINOv2-giant ≈ 3.5 GB bf16) and the paint stack
+        (≈ 3.9 GB) may not fit together with their workspaces."""
+        self._set_param_trees(jax.device_get(self._param_trees()))
+        return self
+
+    def restore_to_device(self):
+        """Upload offloaded parameters back to the device (one transfer per
+        tree; over the remote tunnel this is expensive — seconds/GB)."""
+        self._set_param_trees(
+            jax.tree_util.tree_map(jnp.asarray, self._param_trees()))
+        return self
+
     def enable_model_cpu_offload(self, *args, **kwargs):
         """API parity with the reference's accelerate offload chain
-        (pipelines.py:330-398 `conditioner->model->vae`). On TPU the whole
-        stack (≤2.2 GB bf16) fits in one chip's 16 GB HBM, and host↔device
-        staging over the remote tunnel would cost seconds per stage, so this
-        is a deliberate no-op; HBM pressure is managed with donated buffers
-        and rematerialization instead."""
-        logger.info("enable_model_cpu_offload: no-op on TPU (models fit HBM)")
+        (pipelines.py:330-398 `conditioner->model->vae`): after each
+        pipeline call the parameters are dropped back to host memory; the
+        next call re-uploads them. Use offload_to_host()/restore_to_device()
+        for explicit control (e.g. before loading the paint stack)."""
+        self._auto_offload = True
         return self
 
     def prepare_image(self, image, mask=None) -> dict:
@@ -244,6 +274,8 @@ class Hunyuan3DDiTFlowMatchingPipeline(Hunyuan3DDiTPipeline):
                  seed: int = 0, key=None, output_type: str = "trimesh",
                  enable_pbar: bool = True, **kwargs):
         key = key if key is not None else jax.random.PRNGKey(seed)
+        if getattr(self, "_auto_offload", False):
+            self.restore_to_device()
 
         use_guidance_embed = self.model_cfg.guidance_embed
         do_cfg = guidance_scale >= 0 and not use_guidance_embed
@@ -267,5 +299,8 @@ class Hunyuan3DDiTFlowMatchingPipeline(Hunyuan3DDiTPipeline):
                 jnp.float32(guidance_scale), do_cfg, use_guidance_embed)
             latents.block_until_ready()
 
-        return self._export(latents, output_type, box_v, mc_level, num_chunks,
-                            octree_resolution, mc_algo, enable_pbar)
+        out = self._export(latents, output_type, box_v, mc_level, num_chunks,
+                           octree_resolution, mc_algo, enable_pbar)
+        if getattr(self, "_auto_offload", False):
+            self.offload_to_host()
+        return out

@@ -179,8 +179,9 @@ class Hunyuan3DPaintPipeline:
         if jax.default_backend() != "tpu":
             return None
         from hunyuan3d2_tpu.geometry.render_tpu import (
-            bake_tpu,
+            bake_tpu_prepared,
             cond_maps_tpu,
+            prepare_bake_tpu,
             upload_mesh,
         )
 
@@ -195,22 +196,46 @@ class Hunyuan3DPaintPipeline:
                          for e, a in zip(elevs, azims)]).astype(np.float32)
         mvps_d = jnp.asarray(mvps)
         cond_res = getattr(self.models["multiview_model"], "view_size", 512)
+        # the remote runtime dispatches asynchronously and holds workspaces
+        # of queued executions; a scalar download between dispatch groups
+        # bounds the transient HBM peak (one ~25 ms round trip each)
+        def _sync(x):
+            np.asarray(x.ravel()[0])
+
         with timed_scope("Cond Maps (device)"):
             normal_dev, position_dev = cond_maps_tpu(dev_mesh, mvps_d,
                                                      cond_res)
+            _sync(normal_dev)
         camera_info = [camera_info_index(azim, elev)
                        for azim, elev in zip(azims, elevs)]
+        # bake phase A (UV geometry + per-view weight/index maps) is
+        # color-independent: dispatch it BEFORE the diffusion so its raster
+        # transients execute before the denoise's memory peak, and only the
+        # tiny color-accumulate phase remains afterwards. The view raster
+        # only contributes DEPTH + RELIABILITY here (color is sampled from
+        # the diffusion views), so 1024² suffices — the reference's 2048²
+        # raster carried the splat's UV coordinates, which the gather
+        # formulation doesn't need.
+        bake_raster = min(1024, max(self.render.default_resolution))
+        view_size = getattr(self.models["multiview_model"], "view_size", 512)
+        up_res = min(1024, 2 * view_size)
+        with timed_scope("Bake Geometry (device)"):
+            geom = prepare_bake_tpu(
+                dev_mesh, jnp.asarray(mvs), mvps_d,
+                jnp.asarray(weights, jnp.float32), render_res=bake_raster,
+                tex_res=self.render.texture_size[0], up_res=up_res,
+                exp=float(self.config.bake_exp))
+            _sync(geom[-1][0])
         with timed_scope("Multiview Diffusion (device)"):
             device_views = self.models["multiview_model"](
                 images_prompt, (normal_dev, position_dev), camera_info,
                 output_type="device")
+            _sync(device_views)
+        del normal_dev, position_dev   # free HBM before the bake
         with timed_scope("Texture Baking (device)"):
-            texture_d, trust_d = bake_tpu(
-                dev_mesh, jnp.asarray(mvs), mvps_d, device_views,
-                jnp.asarray(weights, jnp.float32),
-                render_res=max(self.render.default_resolution),
-                tex_res=self.render.texture_size[0],
-                exp=float(self.config.bake_exp))
+            texture_d, trust_d = bake_tpu_prepared(
+                geom, device_views, self.render.texture_size[0],
+                up_res=up_res)
             texture = np.asarray(texture_d)
             mask = np.asarray(trust_d) > 1e-8
         mask_np = (mask * 255).astype(np.uint8)
@@ -237,7 +262,22 @@ class Hunyuan3DPaintPipeline:
         azims = self.config.candidate_camera_azims
         weights = self.config.candidate_view_weights
 
-        device_out = self._call_device(images_prompt, elevs, azims, weights)
+        try:
+            device_out = self._call_device(images_prompt, elevs, azims,
+                                           weights)
+        except Exception as e:  # OOM etc. — degrade to the host bake path
+            import gc
+            import time
+            import traceback
+
+            logger.warning("device texture path failed (%s); falling back "
+                           "to the host bake\n%s", type(e).__name__,
+                           traceback.format_exc())
+            device_out = None
+            # give the (possibly shared) device a moment to release the
+            # failed attempt's buffers before re-dispatching the diffusion
+            gc.collect()
+            time.sleep(5.0)
         if device_out is not None:
             return device_out
 
