@@ -198,40 +198,46 @@ void hy3d_vertex_inpaint(const float* texture, const uint8_t* mask,
     }
   }
 
-  int smooth_count = 2;
-  int64_t last_uncolored = -1;
-  while (smooth_count > 0) {
-    int64_t still_uncolored = 0;
-    for (int32_t vi : uncolored) {
-      if (vmask[vi]) continue;
+  // BFS wavefront: each sweep colors exactly the uncolored vertices with a
+  // colored neighbor (same level-order semantics as re-sweeping the whole
+  // uncolored set, but O(E) total instead of O(sweeps·N) — large occluded
+  // regions previously cost many full sweeps with a malloc per vertex)
+  std::vector<int32_t> frontier = uncolored;
+  std::vector<int32_t> next;
+  float sum[16];
+  const int tcc = std::min(tc, 16);
+  while (!frontier.empty()) {
+    next.clear();
+    bool progress = false;
+    for (int32_t vi : frontier) {
+      if (vmask[vi] == 1) continue;
       float total_w = 0.f;
-      std::vector<float> sum(tc, 0.f);
+      for (int c = 0; c < tcc; ++c) sum[c] = 0.f;
       const float* p0 = vtx_pos + 3 * vi;
       for (int32_t nb : graph[vi]) {
-        if (!vmask[nb]) continue;
+        if (vmask[nb] != 1) continue;
         const float* p1 = vtx_pos + 3 * nb;
         float dx = p0[0] - p1[0], dy = p0[1] - p1[1], dz = p0[2] - p1[2];
         float dist = std::sqrt(dx * dx + dy * dy + dz * dz);
         float wgt = 1.f / std::max(dist, 1e-4f);
         wgt *= wgt;
-        for (int c = 0; c < tc; ++c) sum[c] += vcolor[(size_t)nb * tc + c] * wgt;
+        for (int c = 0; c < tcc; ++c)
+          sum[c] += vcolor[(size_t)nb * tc + c] * wgt;
         total_w += wgt;
       }
       if (total_w > 0.f) {
-        for (int c = 0; c < tc; ++c) vcolor[(size_t)vi * tc + c] = sum[c] / total_w;
+        for (int c = 0; c < tcc; ++c)
+          vcolor[(size_t)vi * tc + c] = sum[c] / total_w;
         vmask[vi] = 2;  // colored this sweep; activates next sweep
+        progress = true;
       } else {
-        ++still_uncolored;
+        next.push_back(vi);
       }
     }
-    for (int32_t vi : uncolored)
+    for (int32_t vi : frontier)
       if (vmask[vi] == 2) vmask[vi] = 1;
-    if (still_uncolored == last_uncolored)
-      --smooth_count;
-    else
-      ++smooth_count;
-    last_uncolored = still_uncolored;
-    if (still_uncolored == 0) break;
+    if (!progress) break;
+    frontier.swap(next);
   }
 
   std::memcpy(out_texture, texture, (size_t)th * tw * tc * sizeof(float));

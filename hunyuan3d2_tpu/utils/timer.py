@@ -66,11 +66,13 @@ class synchronize_timer:
 
 
 class timed_scope(synchronize_timer):
-    """Always-on variant (not gated by HY3DGEN_DEBUG) used by the pipelines to
-    fill their per-stage stats dicts."""
+    """Always-recording variant used by the pipelines to fill their
+    per-stage stats dicts (LAST_TIMINGS); logs too under HY3DGEN_DEBUG=1."""
 
     def __exit__(self, *exc):
         _device_sync()
         self.elapsed = time.perf_counter() - self._t0
         LAST_TIMINGS[self.tag] = self.elapsed
+        if _enabled():
+            logger.info("%s takes %.4f s", self.tag, self.elapsed)
         return False
