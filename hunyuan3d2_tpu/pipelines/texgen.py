@@ -169,14 +169,17 @@ class Hunyuan3DPaintPipeline:
         diffusion denoise, and the texture bake all run on the chip via the
         Pallas rasterizer (geometry/render_tpu.py) — the only texture-sized
         host transfer is the final baked atlas. Returns None (→ host path)
-        off-TPU, for per-corner-UV meshes, or when HY3D_DEVICE_BAKE=0."""
+        off-TPU, for per-corner-UV meshes, or when HY3D_DEVICE_BAKE=0.
+        HY3D_DEVICE_BAKE=force runs it on any backend (CPU tests exercise
+        the full path through the Pallas interpreter)."""
         import os
 
         import jax
 
-        if os.environ.get("HY3D_DEVICE_BAKE", "1") != "1":
+        flag = os.environ.get("HY3D_DEVICE_BAKE", "1")
+        if flag not in ("1", "force"):
             return None
-        if jax.default_backend() != "tpu":
+        if flag != "force" and jax.default_backend() != "tpu":
             return None
         from hunyuan3d2_tpu.geometry.render_tpu import (
             bake_tpu_prepared,
@@ -236,8 +239,13 @@ class Hunyuan3DPaintPipeline:
             texture_d, trust_d = bake_tpu_prepared(
                 geom, device_views, self.render.texture_size[0],
                 up_res=up_res)
-            texture = np.asarray(texture_d)
-            mask = np.asarray(trust_d) > 1e-8
+            # quantize ON DEVICE: u8 atlas (12 MB) + bool mask (4 MB)
+            # instead of 66 MB of fp32 over the ~35 MB/s tunnel
+            tex_u8 = jnp.round(jnp.clip(texture_d, 0.0, 1.0)
+                               * 255.0).astype(jnp.uint8)
+            mask_d = trust_d > 1e-8
+            texture = np.asarray(tex_u8).astype(np.float32) / 255.0
+            mask = np.asarray(mask_d)
         mask_np = (mask * 255).astype(np.uint8)
         with timed_scope("Texture Inpaint"):
             texture = self.texture_inpaint(texture, mask_np)

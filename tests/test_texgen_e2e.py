@@ -59,3 +59,27 @@ def test_texgen_end_to_end(tmp_path):
     # reload: texture survives the GLB round-trip
     back = Mesh.load(p)
     assert back.texture is not None
+
+
+def test_texgen_device_path_on_cpu(tmp_path, monkeypatch):
+    """The device-resident texture path (Pallas raster + gather bake +
+    device cond maps) end-to-end through the interpreter on CPU —
+    HY3D_DEVICE_BAKE=force overrides the TPU-backend gate."""
+    monkeypatch.setenv("HY3D_DEVICE_BAKE", "force")
+    pipe = Hunyuan3DPaintPipeline.init_random(
+        jax.random.PRNGKey(0), size="tiny", view_size=64,
+        render_size=96, texture_size=96)
+    pipe.models["multiview_model"].num_inference_steps = 2
+
+    img = np.zeros((64, 64, 4), np.uint8)
+    img[16:48, 16:48, :3] = [200, 30, 30]
+    img[16:48, 16:48, 3] = 255
+    image = Image.fromarray(img)
+
+    out = pipe(mesh=_sphere_mesh(), image=image)
+    assert out.texture is not None
+    assert out.texture.shape[:2] == (96, 96)
+    # the bake painted a sane fraction of the atlas before inpainting
+    from hunyuan3d2_tpu.utils.timer import LAST_TIMINGS
+
+    assert "Texture Baking (device)" in LAST_TIMINGS
