@@ -57,12 +57,17 @@ def _setup_compilation_cache():
     try:
         import jax
 
-        platform = _os.environ.get("JAX_PLATFORMS", "axon") or "cpu"
+        platform = (_os.environ.get("JAX_PLATFORMS", "axon") or "cpu").split(",")[0]
+        # XLA:CPU caches AOT host executables → must be keyed by host CPU
+        # features (stale cross-machine entries SIGILL). TPU caches hold
+        # device executables whose cache key already includes the backend
+        # compiler/libtpu version, so they are shared host-agnostically —
+        # this lets the driver host reuse caches prewarmed during the build.
+        suffix = f"_{_host_fingerprint()}" if platform == "cpu" else ""
         cache_dir = _os.environ.get(
             "HY3D_TPU_CACHE",
             _os.path.join(_os.path.dirname(__file__), "..",
-                          f".jax_cache_{platform.split(',')[0]}"
-                          f"_{_host_fingerprint()}"))
+                          f".jax_cache_{platform}{suffix}"))
         jax.config.update("jax_compilation_cache_dir", _os.path.abspath(cache_dir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:

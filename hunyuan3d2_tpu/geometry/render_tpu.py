@@ -36,7 +36,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hunyuan3d2_tpu.ops.rasterize_tpu import rasterize_tpu, interpolate
+from hunyuan3d2_tpu.ops.rasterize_tpu import (
+    check_overflow,
+    interpolate,
+    rasterize_tpu,
+)
 
 Array = jax.Array
 
@@ -130,17 +134,20 @@ def _cond_map_view(mesh: BakeMeshDev, mvp: Array, res: int,
     nrm = jnp.where(mask, nrm, 1.0)
     pos = jnp.where(mask, amap[..., 3:6], 1.0)
     to_u8 = lambda x: jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-    return to_u8(nrm), to_u8(pos)
+    return to_u8(nrm), to_u8(pos), out.overflow
 
 
 def cond_maps_tpu(mesh: BakeMeshDev, mvps: Array, res: int,
                   normalize_rgb: bool = True):
     """Normal (world, use_abs_coor) + position cond maps for all views on
     device: [N,res,res,3] uint8 each (bg white), ready for the SD VAE.
-    mvps: [N,4,4]. Python loop over views — one compiled program total."""
+    mvps: [N,4,4]. Python loop over views — one compiled program total.
+    Raises RasterOverflowError (→ texgen host fallback) if any view's
+    raster dropped faces."""
     n = mvps.shape[0]
     outs = [_cond_map_view(mesh, mvps[v], res, normalize_rgb)
             for v in range(n)]
+    check_overflow(jnp.stack([o[2] for o in outs]), "cond_maps_tpu")
     return (jnp.stack([o[0] for o in outs]),
             jnp.stack([o[1] for o in outs]))
 
@@ -160,7 +167,7 @@ def _uv_geometry(mesh: BakeMeshDev, tex_res: int):
     tex_nrm = tex_nrm / jnp.maximum(
         jnp.linalg.norm(tex_nrm, axis=-1, keepdims=True), 1e-12)
     tex_valid = uv_out.face_id >= 0                        # [T,T]
-    return tex_pos, tex_nrm, tex_valid
+    return tex_pos, tex_nrm, tex_valid, uv_out.overflow
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -235,7 +242,7 @@ def _bake_view_geom(mesh: BakeMeshDev, tex_pos: Array, tex_nrm: Array,
                   0, up_res - 1).astype(jnp.int32)
     uy = jnp.clip(jnp.round((sx + 0.5) * (up_res / render_res) - 0.5),
                   0, up_res - 1).astype(jnp.int32)
-    return w, cand, ux * up_res + uy
+    return w, cand, ux * up_res + uy, rout.overflow
 
 
 @functools.partial(jax.jit, static_argnames=("up_res",),
@@ -267,15 +274,20 @@ def prepare_bake_tpu(mesh: BakeMeshDev, mvs: Array, mvps: Array, weights,
     while the diffusion denoises. Returns an opaque geometry list."""
     if kernel_size <= 0:
         kernel_size = 2 * int((2 / 512) * render_res) + 1
-    tex_pos, tex_nrm, tex_valid = _uv_geometry(mesh, tex_res)
+    tex_pos, tex_nrm, tex_valid, uv_overflow = _uv_geometry(mesh, tex_res)
     weights = jnp.asarray(weights, jnp.float32)
-    geom = []
+    geom, overflows = [], [uv_overflow]
     for v in range(mvs.shape[0]):
-        geom.append(_bake_view_geom(
+        w, cand, idx, ovf = _bake_view_geom(
             mesh, tex_pos, tex_nrm, tex_valid, mvs[v], mvps[v], weights[v],
             render_res=render_res, up_res=up_res, exp=float(exp),
             cos_thres=float(cos_thres), kernel_size=kernel_size,
-            depth_bias=float(depth_bias), edge_thresh=float(edge_thresh)))
+            depth_bias=float(depth_bias), edge_thresh=float(edge_thresh))
+        geom.append((w, cand, idx))
+        overflows.append(ovf)
+    # one host fetch for all views (callers sync right after anyway);
+    # raises RasterOverflowError → texgen degrades to the host bake
+    check_overflow(jnp.stack(overflows), "prepare_bake_tpu")
     return geom
 
 

@@ -175,6 +175,8 @@ def bake_view_u8(amap: np.ndarray, fid: np.ndarray, image_u8: np.ndarray,
     h, w = fid.shape
     ih, iw, c = image_u8.shape
     th, tw = trust.shape
+    if c > 8:
+        raise ValueError(f"bake_view_u8: at most 8 channels, got {c}")
     assert amap.shape == (h, w, 6) and tex_merge.shape == (th, tw, c)
     merged = lib.hy3d_bake_view_u8(
         np.ascontiguousarray(amap, np.float32),
@@ -183,6 +185,8 @@ def bake_view_u8(amap: np.ndarray, fid: np.ndarray, image_u8: np.ndarray,
         np.ascontiguousarray(reliable, np.uint8),
         float(cos_thres), h, w, c, th, tw, float(weight), float(exp),
         tex_merge, trust)
+    if merged < 0:
+        raise ValueError(f"bake_view_u8: kernel rejected c={c} channels")
     return bool(merged)
 
 

@@ -263,8 +263,8 @@ void hy3d_grid_put_linear(const float* coords, const float* values, int64_t n,
   // Reused across calls: first-touch page faults on this host are ~100 MB/s,
   // so re-allocating ~100 MB of scratch per view dominated the bake. Static
   // buffers grow once and stay warm (host render path is single-threaded).
-  static std::vector<float> acc;
-  static std::vector<float> cnt;
+  thread_local static std::vector<float> acc;
+  thread_local static std::vector<float> cnt;
   acc.assign((size_t)h * w * c, 0.f);
   cnt.assign((size_t)h * w, 0.f);
   for (int64_t i = 0; i < n; ++i) {
@@ -308,8 +308,8 @@ int hy3d_bake_view(const float* amap, const int32_t* fid, const float* image,
                    const uint8_t* reliable, float cos_thres, int h, int w,
                    int c, int th, int tw, float weight, float expnt,
                    float* tex_merge, float* trust) {
-  static std::vector<float> acc;  // [th*tw*(c+1)] per-view color|cos sums
-  static std::vector<float> cnt;  // [th*tw] per-view bilinear weights
+  thread_local static std::vector<float> acc;  // [th*tw*(c+1)] color|cos
+  thread_local static std::vector<float> cnt;  // [th*tw] bilinear weights
   const int cc = c + 1;
   acc.assign((size_t)th * tw * cc, 0.f);
   cnt.assign((size_t)th * tw, 0.f);
@@ -375,8 +375,9 @@ int hy3d_bake_view_u8(const float* amap, const int32_t* fid,
                       const uint8_t* reliable, float cos_thres, int h, int w,
                       int c, int th, int tw, float weight, float expnt,
                       float* tex_merge, float* trust) {
-  static std::vector<float> acc;  // [th*tw*(c+1)] per-view color|cos sums
-  static std::vector<float> cnt;  // [th*tw] per-view bilinear weights
+  if (c > 8) return -1;  // fixed col[8] below; Python wrapper raises
+  thread_local static std::vector<float> acc;  // [th*tw*(c+1)] color|cos
+  thread_local static std::vector<float> cnt;  // [th*tw] bilinear weights
   const int cc = c + 1;
   acc.assign((size_t)th * tw * cc, 0.f);
   cnt.assign((size_t)th * tw, 0.f);
@@ -839,14 +840,24 @@ struct OpenSet96 {
 void hy3d_weld_dedup(const float* verts, int64_t nv, const int32_t* faces,
                      int64_t nf, float* out_verts, int64_t* out_nv,
                      int32_t* out_faces, int64_t* out_nf) {
-  const uint32_t* vbits = reinterpret_cast<const uint32_t*>(verts);
+  // weld by VALUE, not raw bit pattern: -0.0 must hash like +0.0 (meshes
+  // straddling a coordinate axis produce both), matching the numpy
+  // np.unique(axis=0) twin where -0.0 == 0.0 compare equal
+  auto normbits = [](float v) -> uint32_t {
+    v += 0.0f;  // -0.0f + 0.0f == +0.0f; other values unchanged
+    uint32_t b;
+    std::memcpy(&b, &v, sizeof(b));
+    return b;
+  };
   OpenSet96 weld((size_t)nv);
   std::vector<int32_t> remap(nv);
   int64_t onv = 0;
   for (int64_t i = 0; i < nv; ++i) {
     bool fresh;
-    int32_t id = weld.get_or_insert(vbits[3 * i], vbits[3 * i + 1],
-                                    vbits[3 * i + 2], (int32_t)onv, &fresh);
+    int32_t id = weld.get_or_insert(normbits(verts[3 * i]),
+                                    normbits(verts[3 * i + 1]),
+                                    normbits(verts[3 * i + 2]),
+                                    (int32_t)onv, &fresh);
     if (fresh) {
       out_verts[3 * onv] = verts[3 * i];
       out_verts[3 * onv + 1] = verts[3 * i + 1];

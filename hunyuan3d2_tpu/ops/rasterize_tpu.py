@@ -46,6 +46,37 @@ BIG = 64            # capacity for faces spanning > SLOTS tiles
 REC = 16            # floats per face record (9 used, padded for tiling)
 
 
+class RasterOverflowError(RuntimeError):
+    """A static capacity (per-tile face list or big-face slots) was exceeded;
+    the raster result may be missing faces. Production callers treat this as
+    a signal to fall back to the host rasterizer (texgen.py:276)."""
+
+
+def auto_k_cap(num_faces: int, num_tiles: int) -> int:
+    """Static per-tile face capacity: cover the whole mesh (a face contributes
+    at most one entry per tile, so k_cap >= F can never overflow) unless the
+    gathered tile-record buffer (num_tiles * k_cap * REC * 4 bytes) would
+    exceed ~256 MB. Small tile grids (the overflow-prone case: 512² cond maps
+    = 16 tiles, where a 40k-face mesh piles ~2.5k faces per tile) always get
+    full coverage; only large grids (2048², 256 tiles) fall back to a bound —
+    there the same mesh averages ~160 faces/tile, leaving a wide margin."""
+    mem_bound = max(4096, (1 << 28) // (REC * 4 * max(num_tiles, 1)))
+    f_pad = -(-(num_faces + 1) // 512) * 512
+    return min(f_pad, mem_bound)
+
+
+def check_overflow(overflow, where: str = "rasterize_tpu") -> None:
+    """Host-fetch the overflow scalars of one or more RasterOut.overflow
+    arrays and raise RasterOverflowError if any capacity was exceeded."""
+    import numpy as np
+
+    arr = np.asarray(overflow)
+    if (arr > 0).any():
+        raise RasterOverflowError(
+            f"{where}: per-tile/big-face capacity exceeded by "
+            f"{arr.max()} entries — result would drop faces")
+
+
 class RasterOut(NamedTuple):
     face_id: Array      # [h, w] int32, -1 where empty
     bary: Array         # [h, w, 3] float32 (perspective-corrected)
@@ -107,7 +138,7 @@ def _kernel(counts_ref, recs_ref, fid_out, z_out, w0_out, w1_out,
                                              "interpret"))
 def rasterize_tpu(verts: Array, faces: Array, h: int, w: int, *,
                   tile: int = TILE, slots: int = SLOTS, big: int = BIG,
-                  k_cap: int = 4096, perspective: bool = False,
+                  k_cap: int | None = None, perspective: bool = False,
                   interpret: bool | None = None) -> RasterOut:
     """Rasterize ``faces`` of clip-space ``verts`` [V,4] into an h×w image.
 
@@ -116,6 +147,8 @@ def rasterize_tpu(verts: Array, faces: Array, h: int, w: int, *,
     With perspective=False (orthographic cameras, w≡1) the barycentric
     correction divide is skipped. ``interpret`` defaults to True off-TPU
     (Pallas interpreter) so the same code runs in CPU tests.
+    ``k_cap=None`` auto-sizes the per-tile capacity from the face count
+    (see auto_k_cap) so small tile grids can never overflow.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -124,6 +157,8 @@ def rasterize_tpu(verts: Array, faces: Array, h: int, w: int, *,
     tyn, txn = -(-h // tile), -(-w // tile)
     hp, wp = tyn * tile, txn * tile
     T = tyn * txn
+    if k_cap is None:
+        k_cap = auto_k_cap(F, T)
 
     tri = verts[faces.reshape(-1)].reshape(F, 3, 4)       # [F,3,4]
     vw = jnp.where(tri[:, :, 3] == 0.0, 1e-8, tri[:, :, 3])

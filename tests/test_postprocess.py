@@ -72,6 +72,17 @@ def test_weld_dedup_matches_numpy_twin():
     assert np.allclose(np.sort(ours, axis=0), np.sort(ref, axis=0))
 
 
+def test_weld_dedup_negative_zero():
+    """-0.0 and +0.0 coordinates must weld together (np.unique compares them
+    equal); regression for the raw-bit-pattern hash (advisor round-2 low)."""
+    v = np.array([[0.0, 1, 2], [-0.0, 1, 2], [3, 4, 5]], np.float32)
+    assert np.signbit(v[1, 0])
+    f = np.array([[0, 1, 2], [1, 0, 2]], np.int32)
+    out_v, out_f = native.weld_dedup(v, f)
+    assert len(out_v) == 2          # the two zeros weld
+    assert len(out_f) == 0          # both faces become degenerate
+
+
 def test_cluster_decimate_sphere():
     m = _sphere_mesh(res=96)
     v, f = native.cluster_decimate(m.vertices, m.faces, 0.08)

@@ -66,6 +66,37 @@ def test_rasterize_tpu_matches_host_kernel():
     assert np.abs(img_d - img_h)[same].max() < 1e-3
 
 
+def test_overflow_detected_and_auto_cap_prevents_it():
+    """A too-small explicit k_cap must be reported in RasterOut.overflow and
+    raise through check_overflow (→ texgen host fallback); the default
+    auto-sized k_cap must cover the same mesh with no overflow. Regression
+    for the silently-truncating 4096 default (advisor round-2 high)."""
+    from hunyuan3d2_tpu.ops.rasterize_tpu import (
+        RasterOverflowError,
+        auto_k_cap,
+        check_overflow,
+    )
+
+    rs = np.random.RandomState(1)
+    V, F = 600, 400
+    verts = rs.uniform(-0.5, 0.5, (V, 4)).astype(np.float32)
+    verts[:, 2] = rs.uniform(0.2, 0.8, V)
+    verts[:, 3] = 1.0
+    faces = rs.randint(0, V, (F, 3)).astype(np.int32)
+    # one 128-tile grid → all faces land in few tiles; k_cap=32 overflows
+    out = rasterize_tpu(jnp.asarray(verts), jnp.asarray(faces), 128, 128,
+                        k_cap=32)
+    assert int(np.asarray(out.overflow)[0]) > 0
+    with pytest.raises(RasterOverflowError):
+        check_overflow(out.overflow)
+    # default auto cap: covers every face on small grids → never overflows
+    assert auto_k_cap(F, 1) >= F
+    assert auto_k_cap(40960, 16) >= 40960          # 512² cond-map grid
+    out2 = rasterize_tpu(jnp.asarray(verts), jnp.asarray(faces), 128, 128)
+    assert (np.asarray(out2.overflow) <= 0).all()
+    check_overflow(out2.overflow)  # no raise
+
+
 def test_cond_maps_tpu_match_host_renderer():
     """Device normal+position cond maps vs MeshRender.render_normal_position
     away from silhouette edges."""
