@@ -203,13 +203,17 @@ def apply(params, cfg: DiTConfig, x: Array, t: Array, cond: Array,
     """
     cond = cond.astype(x.dtype)  # unify compute dtype (scan carries must match)
     latent = Linear.apply(params["latent_in"], x)
-    vec = _mlp_embed(params["time_in"], timestep_embedding(t, 256, time_factor=cfg.time_factor).astype(latent.dtype))
+    # hunyuan3ddit.py:392 passes time_factor positionally into max_period —
+    # the production model runs with max_period == time_factor == 1000
+    vec = _mlp_embed(params["time_in"], timestep_embedding(
+        t, 256, max_period=cfg.time_factor, time_factor=cfg.time_factor).astype(latent.dtype))
     if cfg.guidance_embed:
         if guidance is None:
             raise ValueError("guidance strength required for a guidance-distilled model")
         vec = vec + _mlp_embed(
             params["guidance_in"],
-            timestep_embedding(guidance, 256, time_factor=cfg.time_factor).astype(latent.dtype),
+            timestep_embedding(guidance, 256, max_period=cfg.time_factor,
+                               time_factor=cfg.time_factor).astype(latent.dtype),
         )
     cond = Linear.apply(params["cond_in"], cond)
 

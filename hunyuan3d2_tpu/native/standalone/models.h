@@ -4,7 +4,7 @@
 // shapevae}.h) built instead as plain loops over hunyuan3d2_tpu's parameter
 // layout. Every math convention mirrors the JAX modules (and through them
 // the reference):
-//   * timestep embedding: [cos|sin], max_period 10000, t×1000
+//   * timestep embedding: [cos|sin], max_period 1000 (= time_factor), t×1000
 //   * DiT adaLN order [shift,scale,gate], joint attn over [txt|img]
 //   * fused qkv layout (K,H,D) on the channel axis; VAE blocks use the
 //     per-head-interleaved (H, 3·Dh) layout with per-head q/k LayerNorm
@@ -116,7 +116,8 @@ inline Tensor timestep_embedding(float t, int dim) {
   int half = dim / 2;
   float tt = t * 1000.f;
   for (int i = 0; i < half; ++i) {
-    float freq = std::exp(-std::log(10000.f) * i / half);
+    // max_period == time_factor == 1000 (hunyuan3ddit.py:392 quirk)
+    float freq = std::exp(-std::log(1000.f) * i / half);
     e.data[i] = std::cos(tt * freq);
     e.data[half + i] = std::sin(tt * freq);
   }

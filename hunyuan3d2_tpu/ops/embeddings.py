@@ -2,7 +2,14 @@
 
 Parity targets:
   * timestep_embedding — reference hy3dgen/shapegen/models/denoisers/
-    hunyuan3ddit.py:39-69 (cos|sin halves, freqs exp(-ln(10000)*i/128), t×1000).
+    hunyuan3ddit.py:39-69 (cos|sin halves, t×1000). NOTE the reference
+    forward (:392) calls ``timestep_embedding(t, 256, self.time_factor)``,
+    passing time_factor=1000 POSITIONALLY into the ``max_period`` slot — so
+    the production frequencies are exp(-ln(1000)·i/128), confirmed by the
+    delldu spec twin's asserts (project/image3d/dit.py:41-44,
+    max_period==1000). Callers here pass max_period=cfg.time_factor to
+    reproduce that exact behavior (direct parity:
+    tests/test_reference_parity.py).
   * fourier_embed — reference hy3dgen/shapegen/models/autoencoders/
     attention_blocks.py:36 (FourierEmbedder: cat(x, sin(x·2^k), cos(x·2^k))).
   * sincos_1d_pos_embed — reference hy3dgen/shapegen/models/conditioner.py:37

@@ -19,9 +19,11 @@ import torch.nn.functional as F
 # DiT
 # ---------------------------------------------------------------------------
 def timestep_embedding(t, dim, time_factor=1000.0):
+    # reference forward passes time_factor positionally into max_period
+    # (hunyuan3ddit.py:392) -> production max_period == 1000
     t = t.float() * time_factor
     half = dim // 2
-    freqs = torch.exp(-math.log(10000.0) * torch.arange(half, dtype=torch.float32) / half)
+    freqs = torch.exp(-math.log(time_factor) * torch.arange(half, dtype=torch.float32) / half)
     args = t[:, None] * freqs[None]
     return torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
 
