@@ -69,7 +69,9 @@ def _setup_compilation_cache():
             _os.path.join(_os.path.dirname(__file__), "..",
                           f".jax_cache_{platform}{suffix}"))
         jax.config.update("jax_compilation_cache_dir", _os.path.abspath(cache_dir))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # 0.1 s threshold: under the axon remote-compile tunnel even tiny
+        # programs cost ~0.5 s to compile, so caching them is a net win.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     except Exception:
         pass
 

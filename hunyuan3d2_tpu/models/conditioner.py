@@ -45,7 +45,11 @@ class DinoImageEncoder:
 
     @classmethod
     def init_random(cls, key, cfg: DinoEncoderConfig = DinoEncoderConfig()):
-        return cls(dinov2.init(key, cfg.dino), cfg)
+        # jitted init: one compile instead of ~100 eager per-layer dispatches
+        # (each ~0.5 s through the remote-compile tunnel)
+        import jax as _jax
+
+        return cls(_jax.jit(dinov2.init, static_argnums=1)(key, cfg.dino), cfg)
 
     def encode(self, pixel_values: Array) -> Array:
         """pixel_values: [B, H, W, 3] already normalized. → [B, L, hidden]."""

@@ -381,7 +381,10 @@ class ShapeVAE:
 
     @classmethod
     def init_random(cls, key, cfg: ShapeVAEConfig = MINI):
-        return cls(init(key, cfg), cfg)
+        # jit the whole init: eager per-layer jax.random calls each dispatch a
+        # tiny program (~0.5 s/compile through the axon remote-compile
+        # tunnel); one traced program compiles once and persists in the cache.
+        return cls(jax.jit(init, static_argnums=1)(key, cfg), cfg)
 
     def __call__(self, latents: Array) -> Array:
         return decode_latents(self.params, self.cfg, latents)

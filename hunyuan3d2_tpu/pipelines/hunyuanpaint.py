@@ -221,7 +221,10 @@ class HunyuanPaintPipeline:
         k1, k2 = jax.random.split(key)
         ucfg = paint_unet.TINY if size == "tiny" else paint_unet.DEFAULT
         vcfg = sd_vae.TINY if size == "tiny" else sd_vae.DEFAULT
-        return cls(paint_unet.init(k1, ucfg), ucfg, sd_vae.init(k2, vcfg), vcfg,
+        # jitted inits: one compile each instead of eager per-layer dispatches
+        # (each ~0.5 s through the remote-compile tunnel)
+        return cls(jax.jit(paint_unet.init, static_argnums=1)(k1, ucfg), ucfg,
+                   jax.jit(sd_vae.init, static_argnums=1)(k2, vcfg), vcfg,
                    view_size=view_size)
 
     def shard(self, mesh=None):

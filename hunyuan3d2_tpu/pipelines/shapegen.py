@@ -140,7 +140,7 @@ class Hunyuan3DDiTPipeline:
             conditioner_lib.DinoImageEncoder.init_random(k3, dcfg))
         return cls(
             vae=vae_lib.ShapeVAE.init_random(k2, vae_cfg),
-            model_params=dit_lib.init(k1, dit_cfg),
+            model_params=jax.jit(dit_lib.init, static_argnums=1)(k1, dit_cfg),
             model_cfg=dit_cfg,
             scheduler=sched_lib.FlowMatchEulerDiscreteScheduler(),
             conditioner=cond,
