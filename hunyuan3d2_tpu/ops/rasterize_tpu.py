@@ -86,9 +86,15 @@ class RasterOut(NamedTuple):
 
 
 def _kernel(counts_ref, recs_ref, fid_out, z_out, w0_out, w1_out,
-            *, k_cap: int, tile: int):
+            *, chunk_k: int, tile: int):
+    """One (tile_y, tile_x, face_chunk) grid step. The face-chunk axis is the
+    innermost grid dimension; the output blocks (z-buffer state) map to the
+    same block for every chunk, so they stay resident in VMEM and accumulate
+    across chunks — each chunk's record block is only chunk_k·REC·4 bytes,
+    keeping VMEM bounded for arbitrarily large per-tile face lists."""
     ty = pl.program_id(0)
     tx = pl.program_id(1)
+    c = pl.program_id(2)
     txn = pl.num_programs(1)
     py0 = (ty * tile).astype(jnp.float32)
     px0 = (tx * tile).astype(jnp.float32)
@@ -98,11 +104,19 @@ def _kernel(counts_ref, recs_ref, fid_out, z_out, w0_out, w1_out,
     px = px0 + jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1).astype(
         jnp.float32)
 
-    count = counts_ref[ty * txn + tx]
+    @pl.when(c == 0)
+    def _init():
+        z_out[:] = jnp.full((tile, tile), 2.0, jnp.float32)
+        fid_out[:] = jnp.full((tile, tile), -1, jnp.int32)
+        w0_out[:] = jnp.zeros((tile, tile), jnp.float32)
+        w1_out[:] = jnp.zeros((tile, tile), jnp.float32)
+
+    # faces remaining for this tile in this chunk
+    count = counts_ref[ty * txn + tx] - c * chunk_k
 
     def body(k, carry):
         zbest, fbest, b0best, b1best = carry
-        rec = recs_ref[0, 0, k]           # [REC] vector
+        rec = recs_ref[0, 0, 0, k]        # [REC] vector
         a0, b0, c0 = rec[0], rec[1], rec[2]
         a1, b1, c1 = rec[3], rec[4], rec[5]
         z0, z1, zc = rec[6], rec[7], rec[8]
@@ -119,18 +133,19 @@ def _kernel(counts_ref, recs_ref, fid_out, z_out, w0_out, w1_out,
         b1best = jnp.where(upd, w1, b1best)
         return zbest, fbest, b0best, b1best
 
-    init = (jnp.full((tile, tile), 2.0, jnp.float32),
-            jnp.full((tile, tile), -1, jnp.int32),
-            jnp.zeros((tile, tile), jnp.float32),
-            jnp.zeros((tile, tile), jnp.float32))
+    init = (z_out[:], fid_out[:], w0_out[:], w1_out[:])
     zbest, fbest, b0best, b1best = jax.lax.fori_loop(
-        0, jnp.minimum(count, k_cap), body, init)
+        0, jnp.clip(count, 0, chunk_k), body, init)
 
-    empty = fbest < 0
     fid_out[:] = fbest
-    z_out[:] = jnp.where(empty, 0.0, zbest)
+    z_out[:] = zbest
     w0_out[:] = b0best
     w1_out[:] = b1best
+
+    @pl.when(c == pl.num_programs(2) - 1)
+    def _finish():
+        empty = fid_out[:] < 0
+        z_out[:] = jnp.where(empty, 0.0, z_out[:])
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "tile", "slots",
@@ -256,23 +271,35 @@ def rasterize_tpu(verts: Array, faces: Array, h: int, w: int, *,
     in_seg = (jnp.arange(k_cap, dtype=jnp.int32)[None, :]
               < jnp.minimum(counts, k_cap)[:, None])
     tile_recs = jnp.where(in_seg[..., None], recs[list_face], sentinel)
-    tile_recs = tile_recs.reshape(tyn, txn, k_cap, REC)
+    # chunk the per-tile face lists: each kernel step stages only
+    # chunk_k·REC·4 bytes in VMEM (k_cap can be the full face count — the
+    # unchunked block at 40k faces was a 40 MB VMEM request, over the 16 MB
+    # scoped limit)
+    chunk_k = min(k_cap, 2048)
+    n_chunks = -(-k_cap // chunk_k)
+    kc_pad = n_chunks * chunk_k
+    if kc_pad != k_cap:
+        tile_recs = jnp.concatenate(
+            [tile_recs, jnp.broadcast_to(sentinel, (T, kc_pad - k_cap, REC))],
+            axis=1)
+    tile_recs = tile_recs.reshape(tyn, txn, n_chunks, chunk_k, REC)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(tyn, txn),
+        grid=(tyn, txn, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, 1, k_cap, REC), lambda ty, tx, c: (ty, tx, 0, 0)),
+            pl.BlockSpec((1, 1, 1, chunk_k, REC),
+                         lambda ty, tx, c, s: (ty, tx, c, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((tile, tile), lambda ty, tx, c: (ty, tx)),
-            pl.BlockSpec((tile, tile), lambda ty, tx, c: (ty, tx)),
-            pl.BlockSpec((tile, tile), lambda ty, tx, c: (ty, tx)),
-            pl.BlockSpec((tile, tile), lambda ty, tx, c: (ty, tx)),
+            pl.BlockSpec((tile, tile), lambda ty, tx, c, s: (ty, tx)),
+            pl.BlockSpec((tile, tile), lambda ty, tx, c, s: (ty, tx)),
+            pl.BlockSpec((tile, tile), lambda ty, tx, c, s: (ty, tx)),
+            pl.BlockSpec((tile, tile), lambda ty, tx, c, s: (ty, tx)),
         ],
     )
     fid_img, z_img, w0_img, w1_img = pl.pallas_call(
-        functools.partial(_kernel, k_cap=k_cap, tile=tile),
+        functools.partial(_kernel, chunk_k=chunk_k, tile=tile),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
