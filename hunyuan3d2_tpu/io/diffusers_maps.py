@@ -360,3 +360,71 @@ def map_paint_unet(sd: Dict[str, np.ndarray], cfg, dtype="bf16") -> dict:
         params["dual"] = map_unet_core(sd, dual_config(cfg), dtype,
                                        prefix="unet_dual.", extras=False)
     return params
+
+
+def empty_prompt_embed(ckpt_path: str) -> np.ndarray:
+    """[77, 768] CLIP-L hidden states for the "" prompt (the delight model's
+    only prompt, dehighlight_utils.py:95), computed once with transformers
+    CLIPTextModel from the checkpoint's text_encoder/ + tokenizer/."""
+    import torch
+    from transformers import CLIPTextModel, CLIPTokenizer
+
+    import os
+
+    tok = CLIPTokenizer.from_pretrained(os.path.join(ckpt_path, "tokenizer"))
+    te = CLIPTextModel.from_pretrained(os.path.join(ckpt_path, "text_encoder"))
+    ids = tok("", padding="max_length", max_length=tok.model_max_length,
+              return_tensors="pt").input_ids
+    with torch.no_grad():
+        emb = te(ids)[0]
+    return emb[0].float().numpy()
+
+
+def load_delight_pipeline(cls, ckpt_path: str, dtype="bf16", **kwargs):
+    """diffusers InstructPix2Pix checkpoint directory → DelightPipeline
+    (reference construction: dehighlight_utils.py:23-37)."""
+    import json
+    import os
+
+    from hunyuan3d2_tpu.io.checkpoints import load_state_dict
+    from hunyuan3d2_tpu.models import sd_vae
+    from hunyuan3d2_tpu.pipelines.delight import IP2P_UNET
+
+    ujson_path = os.path.join(ckpt_path, "unet", "config.json")
+    ujson = json.load(open(ujson_path)) if os.path.exists(ujson_path) else {}
+    import dataclasses
+
+    ucfg = dataclasses.replace(
+        IP2P_UNET,
+        in_channels=ujson.get("in_channels", 8),
+        block_out_channels=tuple(ujson.get("block_out_channels",
+                                           (320, 640, 1280, 1280))),
+        layers_per_block=ujson.get("layers_per_block", 2),
+        cross_attention_dim=ujson.get("cross_attention_dim", 768),
+        num_heads=ujson.get("attention_head_dim", 8)
+        if isinstance(ujson.get("attention_head_dim", 8), int) else None,
+    )
+    unet_ckpt = vae_ckpt = None
+    for name in ("diffusion_pytorch_model.safetensors",
+                 "diffusion_pytorch_model.bin"):
+        p = os.path.join(ckpt_path, "unet", name)
+        if unet_ckpt is None and os.path.exists(p):
+            unet_ckpt = p
+        p = os.path.join(ckpt_path, "vae", name)
+        if vae_ckpt is None and os.path.exists(p):
+            vae_ckpt = p
+    unet_params = map_unet_core(load_state_dict(unet_ckpt), ucfg, dtype,
+                                prefix="", extras=False)
+
+    vjson_path = os.path.join(ckpt_path, "vae", "config.json")
+    vjson = json.load(open(vjson_path)) if os.path.exists(vjson_path) else {}
+    vcfg = sd_vae.SDVAEConfig(
+        latent_channels=vjson.get("latent_channels", 4),
+        block_out_channels=tuple(vjson.get("block_out_channels",
+                                           (128, 256, 512, 512))),
+        layers_per_block=vjson.get("layers_per_block", 2),
+        scaling_factor=vjson.get("scaling_factor", 0.18215),
+    )
+    vae_params = map_sd_vae(load_state_dict(vae_ckpt), vcfg, dtype)
+    return cls(unet_params, ucfg, vae_params, vcfg,
+               empty_prompt_embed(ckpt_path), **kwargs)

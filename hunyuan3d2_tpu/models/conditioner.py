@@ -136,7 +136,7 @@ class DualImageEncoder(SingleImageEncoder):
     def __call__(self, image: Array, **kwargs) -> dict:
         out = {"main": self.main.encode(image)}
         if self.additional is None:
-            raise NotImplementedError(
+            raise ValueError(
                 "DualImageEncoder requires the additional (CLIP) tower; "
                 "provide additional_image_encoder."
             )
@@ -145,7 +145,7 @@ class DualImageEncoder(SingleImageEncoder):
 
     def encode_image(self, image_m11, view_idxs=None) -> dict:
         if self.additional is None:
-            raise NotImplementedError(
+            raise ValueError(
                 "DualImageEncoder requires the additional (CLIP) tower; "
                 "provide additional_image_encoder."
             )

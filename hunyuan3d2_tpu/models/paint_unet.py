@@ -50,6 +50,10 @@ class PaintUNetConfig:
     use_reference_attention: bool = True
     use_camera_embedding: bool = True
     use_dual_stream: bool = True
+    # SD2.1-class UNets fix the HEAD SIZE (attention_head_dim channels per
+    # head); SD1.5-class UNets (e.g. the InstructPix2Pix delight model) fix
+    # the HEAD COUNT at 8 with per-block head sizes — set num_heads for those
+    num_heads: Optional[int] = None
 
     @property
     def time_embed_dim(self) -> int:
@@ -256,7 +260,7 @@ def _tblock(p, cfg: PaintUNetConfig, x: Array, context: Array, layer: str,
             mode: str, num_views: int, cache: Dict[str, Array],
             ref_scale: float, mva_scale: float,
             mva_masks: dict = None) -> Array:
-    heads = x.shape[-1] // cfg.attention_head_dim
+    heads = cfg.num_heads or x.shape[-1] // cfg.attention_head_dim
     h = layer_norm(x, p["norm1"]["scale"], p["norm1"]["bias"], eps=1e-5)
 
     x = x + _attention(p["attn1"], h, h, heads)

@@ -38,6 +38,7 @@ class EulerAncestralDiscreteScheduler:
     prediction_type: str = "v_prediction"
     timestep_spacing: str = "trailing"
     rescale_betas_zero_snr: bool = True
+    steps_offset: int = 0
 
     def _alphas_cumprod(self) -> np.ndarray:
         betas = np.linspace(self.beta_start ** 0.5, self.beta_end ** 0.5,
@@ -55,6 +56,12 @@ class EulerAncestralDiscreteScheduler:
         if self.timestep_spacing == "trailing":
             step = t / num_inference_steps
             timesteps = np.round(np.arange(t, 0, -step)).astype(np.float64) - 1
+        elif self.timestep_spacing == "leading":
+            # SD1.5-era configs (e.g. InstructPix2Pix): integer step ratio,
+            # ascending grid + steps_offset, reversed
+            step = t // num_inference_steps
+            timesteps = (np.arange(0, num_inference_steps) * step).round()[::-1]
+            timesteps = timesteps.astype(np.float64) + self.steps_offset
         else:  # linspace
             timesteps = np.linspace(0, t - 1, num_inference_steps)[::-1]
         ac = self._alphas_cumprod()

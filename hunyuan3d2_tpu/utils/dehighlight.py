@@ -77,11 +77,19 @@ class Light_Shadow_Remover:
         self.pipeline = pipeline  # optional diffusion delight model
         ckpt = getattr(config, "light_remover_ckpt_path", None) if config else None
         if pipeline is None and ckpt:
+            # JAX-native InstructPix2Pix stack first (runs on TPU); the
+            # torch/diffusers construction only as a fallback (diffusers is
+            # not importable in this image)
             try:
-                self.pipeline = _diffusers_delight(
-                    ckpt, getattr(config, "device", "cpu"))
-            except ImportError:
-                pass
+                from hunyuan3d2_tpu.pipelines.delight import DelightPipeline
+
+                self.pipeline = DelightPipeline.from_pretrained(ckpt)
+            except Exception:
+                try:
+                    self.pipeline = _diffusers_delight(
+                        ckpt, getattr(config, "device", "cpu"))
+                except ImportError:
+                    pass
 
     def __call__(self, image: Image.Image) -> Image.Image:
         rgba = np.asarray(image.convert("RGBA")).astype(np.float32) / 255.0
