@@ -6,6 +6,9 @@ from PIL import Image
 import jax
 
 from hunyuan3d2_tpu.pipelines.shapegen import Hunyuan3DDiTFlowMatchingPipeline
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _img(c):

@@ -7,6 +7,8 @@ diffusion math and plumbing are identical at any scale)."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 from PIL import Image
 
 from hunyuan3d2_tpu.pipelines.delight import (

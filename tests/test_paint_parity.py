@@ -18,6 +18,9 @@ from hunyuan3d2_tpu.io import diffusers_maps as dmaps
 from hunyuan3d2_tpu.models import paint_unet, sd_vae
 
 import torch_paint_ref as twin
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _to_f32(tree):

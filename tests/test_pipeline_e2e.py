@@ -5,6 +5,8 @@ scaled down to CI (CPU, tiny octree, 3 steps)."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 from PIL import Image
 
 import jax

@@ -3,6 +3,8 @@ paint stack, small render/texture sizes, CPU)."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 from PIL import Image
 
 import jax
