@@ -167,6 +167,10 @@ def map_unet_core(sd: Dict[str, np.ndarray], cfg, dtype="bf16",
     }
     if cfg.use_camera_embedding and "class_embedding.weight" in s:
         p["class_embedding"] = s["class_embedding.weight"].astype(np.float32)
+    if cfg.use_camera_embedding and "class_embedding.linear_1.weight" in s:
+        # diffusers class_embed_type='timestep': a TimestepEmbedding MLP
+        p["class_mlp_in"] = _lin(s, "class_embedding.linear_1", dtype)
+        p["class_mlp_out"] = _lin(s, "class_embedding.linear_2", dtype)
     if "learned_text_clip_gen" in s:
         p["learned_text_clip_gen"] = s["learned_text_clip_gen"].astype(np.float32)
         p["learned_text_clip_ref"] = s["learned_text_clip_ref"].astype(np.float32)
@@ -426,5 +430,62 @@ def load_delight_pipeline(cls, ckpt_path: str, dtype="bf16", **kwargs):
         scaling_factor=vjson.get("scaling_factor", 0.18215),
     )
     vae_params = map_sd_vae(load_state_dict(vae_ckpt), vcfg, dtype)
+    return cls(unet_params, ucfg, vae_params, vcfg,
+               empty_prompt_embed(ckpt_path), **kwargs)
+
+
+def load_upscale_pipeline(cls, ckpt_path: str, dtype="bf16", **kwargs):
+    """diffusers StableDiffusionUpscalePipeline checkpoint directory →
+    UpscalePipeline (reference construction: imagesuper_utils.py:19-24).
+    UNet/VAE/scheduler hyper-parameters come from the config.json files."""
+    import dataclasses
+    import json
+    import os
+
+    from hunyuan3d2_tpu.io.checkpoints import load_state_dict
+    from hunyuan3d2_tpu.models import sd_vae
+    from hunyuan3d2_tpu.pipelines.upscale import X4_UNET
+
+    def _json(sub):
+        p = os.path.join(ckpt_path, sub, "config.json")
+        return json.load(open(p)) if os.path.exists(p) else {}
+
+    ujson = _json("unet")
+    down_types = ujson.get("down_block_types")
+    head = ujson.get("attention_head_dim", 8)
+    ucfg = dataclasses.replace(
+        X4_UNET,
+        in_channels=ujson.get("in_channels", 7),
+        block_out_channels=tuple(ujson.get("block_out_channels",
+                                           X4_UNET.block_out_channels)),
+        layers_per_block=ujson.get("layers_per_block", 2),
+        cross_attention_dim=ujson.get("cross_attention_dim", 1024),
+        num_heads=head if isinstance(head, int) else None,
+        down_cross=tuple("CrossAttn" in t for t in down_types)
+        if down_types else X4_UNET.down_cross,
+        class_embed_type="timestep"
+        if ujson.get("class_embed_type") == "timestep" else "table",
+        num_class_embeds=ujson.get("num_class_embeds") or 1000,
+    )
+
+    def _weights(sub):
+        for name in ("diffusion_pytorch_model.safetensors",
+                     "diffusion_pytorch_model.bin"):
+            p = os.path.join(ckpt_path, sub, name)
+            if os.path.exists(p):
+                return load_state_dict(p)
+        raise FileNotFoundError(f"no weights under {ckpt_path}/{sub}")
+
+    unet_params = map_unet_core(_weights("unet"), ucfg, dtype,
+                                prefix="", extras=False)
+    vjson = _json("vae")
+    vcfg = sd_vae.SDVAEConfig(
+        latent_channels=vjson.get("latent_channels", 4),
+        block_out_channels=tuple(vjson.get("block_out_channels",
+                                           (128, 256, 512))),
+        layers_per_block=vjson.get("layers_per_block", 2),
+        scaling_factor=vjson.get("scaling_factor", 0.08333),
+    )
+    vae_params = map_sd_vae(_weights("vae"), vcfg, dtype)
     return cls(unet_params, ucfg, vae_params, vcfg,
                empty_prompt_embed(ckpt_path), **kwargs)

@@ -54,14 +54,27 @@ class PaintUNetConfig:
     # head); SD1.5-class UNets (e.g. the InstructPix2Pix delight model) fix
     # the HEAD COUNT at 8 with per-block head sizes — set num_heads for those
     num_heads: Optional[int] = None
+    # per-down-block cross-attention flags (up blocks mirror the reversed
+    # pattern, as in diffusers up_block_types). None → the SD/paint default
+    # (attention everywhere except the deepest down / shallowest up block).
+    # The x4 upscaler uses (False, True, True, True).
+    down_cross: Optional[tuple] = None
+    # "table": learned class-embedding rows (camera indices, diffusers
+    # num_class_embeds); "timestep": the class label is sinusoid-embedded and
+    # MLP-projected like the timestep (diffusers class_embed_type='timestep',
+    # the x4 upscaler's low-res noise_level conditioning)
+    class_embed_type: str = "table"
 
     @property
     def time_embed_dim(self) -> int:
         return self.block_out_channels[0] * 4
 
     def is_cross(self, i: int, down: bool) -> bool:
-        """down blocks: CrossAttn,CrossAttn,CrossAttn,Down; up mirrors."""
+        """down blocks: CrossAttn,CrossAttn,CrossAttn,Down; up mirrors.
+        An explicit ``down_cross`` tuple overrides (up blocks reversed)."""
         n = len(self.block_out_channels)
+        if self.down_cross is not None:
+            return self.down_cross[i if down else n - 1 - i]
         return (i < n - 1) if down else (i > 0)
 
 
@@ -180,8 +193,14 @@ def init(key, cfg: PaintUNetConfig = DEFAULT, dual: bool = None):
         "up": [],
     }
     if cfg.use_camera_embedding:
-        p["class_embedding"] = jax.random.normal(
-            nk(), (cfg.num_class_embeds, cfg.time_embed_dim), jnp.float32) * 0.02
+        if cfg.class_embed_type == "timestep":
+            p["class_mlp_in"] = Linear.init(nk(), chs[0], cfg.time_embed_dim)
+            p["class_mlp_out"] = Linear.init(nk(), cfg.time_embed_dim,
+                                             cfg.time_embed_dim)
+        else:
+            p["class_embedding"] = jax.random.normal(
+                nk(), (cfg.num_class_embeds, cfg.time_embed_dim),
+                jnp.float32) * 0.02
 
     c_in = chs[0]
     for i, c_out in enumerate(chs):
@@ -324,7 +343,16 @@ def unet_apply(params, cfg: PaintUNetConfig, sample: Array, t: Array,
                         silu(Linear.apply(params["time_mlp_in"],
                                           temb.astype(sample.dtype))))
     if cfg.use_camera_embedding and class_labels is not None:
-        temb = temb + params["class_embedding"][class_labels].astype(temb.dtype)
+        if cfg.class_embed_type == "timestep":
+            cemb = sd_timestep_embedding(class_labels.astype(jnp.float32),
+                                         cfg.block_out_channels[0])
+            cemb = Linear.apply(params["class_mlp_out"],
+                                silu(Linear.apply(params["class_mlp_in"],
+                                                  cemb.astype(temb.dtype))))
+            temb = temb + cemb
+        else:
+            temb = temb + params["class_embedding"][class_labels].astype(
+                temb.dtype)
 
     x = Conv2d.apply(params["conv_in"], sample)
     residuals = [x]

@@ -135,3 +135,61 @@ class LCMScheduler:
         ac_n = alphas_cumprod[t_next_int]
         renoised = ac_n ** 0.5 * pred_x0 + (1 - ac_n) ** 0.5 * noise
         return jnp.where(t_next_int > 0, renoised, pred_x0), pred_x0
+
+
+@dataclasses.dataclass(frozen=True)
+class DDIMScheduler:
+    """Deterministic DDIM (eta=0) for the x4 super-resolution pipeline
+    (reference imagesuper_utils.py:19-34 → diffusers
+    StableDiffusionUpscalePipeline's scheduler). Exact hyper-parameters come
+    from the checkpoint's scheduler config at load; defaults are the SD2.x-
+    era scaled-linear betas."""
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    prediction_type: str = "v_prediction"
+    timestep_spacing: str = "leading"
+    steps_offset: int = 1
+
+    def alphas_cumprod(self) -> np.ndarray:
+        betas = np.linspace(self.beta_start ** 0.5, self.beta_end ** 0.5,
+                            self.num_train_timesteps) ** 2
+        return np.cumprod(1.0 - betas)
+
+    def make_tables(self, num_inference_steps: int):
+        """→ (timesteps [N] int32 descending, alphas_cumprod [T] fp32)."""
+        t = self.num_train_timesteps
+        if self.timestep_spacing == "trailing":
+            step = t / num_inference_steps
+            timesteps = np.round(np.arange(t, 0, -step)) - 1
+        elif self.timestep_spacing == "leading":
+            step = t // num_inference_steps
+            timesteps = ((np.arange(0, num_inference_steps) * step).round()
+                         [::-1] + self.steps_offset)
+        else:
+            timesteps = np.linspace(0, t - 1, num_inference_steps)[::-1]
+        return (timesteps.astype(np.int32),
+                self.alphas_cumprod().astype(np.float32))
+
+    def step(self, model_output, sample, t_int, t_prev_int, alphas_cumprod):
+        """One eta=0 step; t_prev_int < 0 → ᾱ_prev = 1 (final step)."""
+        import jax.numpy as jnp
+
+        ac_t = alphas_cumprod[t_int]
+        ac_prev = jnp.where(t_prev_int >= 0,
+                            alphas_cumprod[jnp.maximum(t_prev_int, 0)], 1.0)
+        sq_a, sq_1ma = ac_t ** 0.5, (1 - ac_t) ** 0.5
+        if self.prediction_type == "v_prediction":
+            pred_x0 = sq_a * sample - sq_1ma * model_output
+            eps = sq_a * model_output + sq_1ma * sample
+        elif self.prediction_type == "epsilon":
+            pred_x0 = (sample - sq_1ma * model_output) / sq_a
+            eps = model_output
+        else:
+            raise ValueError(self.prediction_type)
+        return ac_prev ** 0.5 * pred_x0 + (1 - ac_prev) ** 0.5 * eps, pred_x0
+
+    def add_noise(self, sample, noise, t_int, alphas_cumprod):
+        ac = alphas_cumprod[t_int]
+        return ac ** 0.5 * sample + (1 - ac) ** 0.5 * noise

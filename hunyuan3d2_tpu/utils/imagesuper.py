@@ -40,7 +40,20 @@ class Image_Super_Net:
                  use_diffusion: bool = False):
         self.pipeline = pipeline
         self.scale = scale
-        if pipeline is None and use_diffusion:
+        ckpt = getattr(config, "super_res_ckpt_path", None) if config else None
+        if pipeline is None and ckpt:
+            # JAX-native x4 upscaler stack (runs on TPU) when a local
+            # checkpoint directory is provided
+            try:
+                from hunyuan3d2_tpu.io.diffusers_maps import (
+                    load_upscale_pipeline,
+                )
+                from hunyuan3d2_tpu.pipelines.upscale import UpscalePipeline
+
+                self.pipeline = load_upscale_pipeline(UpscalePipeline, ckpt)
+            except Exception:
+                pass
+        if self.pipeline is None and use_diffusion:
             try:
                 self.pipeline = _diffusers_upscaler(
                     getattr(config, "device", "cpu") if config else "cpu")

@@ -1,0 +1,53 @@
+"""JAX-native x4 super-resolution pipeline tests.
+
+Parity target: reference hy3dgen/texgen/utils/imagesuper_utils.py
+Image_Super_Net — StableDiffusionUpscalePipeline, 5 steps, empty prompt.
+Random weights at tiny config (diffusion math identical at any scale)."""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+from PIL import Image
+
+from hunyuan3d2_tpu.pipelines.paint_schedulers import DDIMScheduler
+from hunyuan3d2_tpu.pipelines.upscale import UpscalePipeline
+
+
+def test_ddim_tables_and_step_roundtrip():
+    sched = DDIMScheduler()
+    timesteps, ac = sched.make_tables(5)
+    assert len(timesteps) == 5 and np.all(np.diff(timesteps) < 0)
+    assert ac.shape == (1000,) and np.all(np.diff(ac) < 0)
+    # add_noise then a full-denoise step with the true eps recovers x0
+    import jax.numpy as jnp
+
+    x0 = jnp.ones((1, 4, 4, 3)) * 0.5
+    noise = jnp.ones_like(x0) * 0.1
+    t = jnp.int32(500)
+    ac_j = jnp.asarray(ac)
+    noisy = sched.add_noise(x0, noise, t, ac_j)
+    eps_sched = DDIMScheduler(prediction_type="epsilon")
+    prev, pred_x0 = eps_sched.step(noise, noisy, t, jnp.int32(-1), ac_j)
+    np.testing.assert_allclose(np.asarray(pred_x0), np.asarray(x0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(prev), np.asarray(x0), atol=1e-5)
+
+
+def test_upscale_pipeline_4x_and_deterministic():
+    pipe = UpscalePipeline.init_random(size="tiny", num_inference_steps=2)
+    img = Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (16, 24, 3), np.uint8))
+    out1 = pipe(img, seed=1)
+    out2 = pipe(img, seed=1)
+    assert out1.size == (24 * 4, 16 * 4)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_image_super_net_fallback_unchanged():
+    from hunyuan3d2_tpu.utils.imagesuper import Image_Super_Net
+
+    net = Image_Super_Net()
+    img = Image.fromarray(np.full((8, 8, 3), 128, np.uint8))
+    out = net(img)
+    assert out.size == (32, 32)
