@@ -34,9 +34,10 @@ SIGALRM wall-clock guard and the whole run respects an internal budget
 (HY3D_BENCH_BUDGET seconds, default 2700) after which remaining stages are
 skipped and the best record so far stands.
 
-MFU fields: analytic-free FLOP counts from XLA's own cost model
-(compiled.cost_analysis()['flops']) for the DiT denoise loop and the volume
-decode, divided by measured wall-clock and TPU v5e bf16 peak (197 TFLOP/s).
+MFU fields: analytic FLOP counts (2*params*tokens + attention terms; XLA's
+own cost model counts lax.scan bodies once, undercounting scanned programs)
+for the DiT denoise window (incl. DINOv2 encode) and the volume decode,
+divided by measured wall-clock and TPU v5e bf16 peak (197 TFLOP/s).
 
 Prints one JSON record per completed milestone; the LAST line is the
 authoritative one: {"metric", "value", "unit", "vs_baseline", ...}.
@@ -104,18 +105,6 @@ def build_sphere_device(octree):
     return jax.device_put(jnp.asarray(sphere, jnp.float16))
 
 
-def _flops_of(lowered):
-    """XLA cost-model FLOPs of a lowered jit program (None if unavailable)."""
-    try:
-        ca = lowered.compile().cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        f = float(ca.get("flops", 0.0))
-        return f if f > 0 else None
-    except Exception:
-        return None
-
-
 def shape_stage():
     import jax
     import jax.numpy as jnp
@@ -123,7 +112,6 @@ def shape_stage():
     from PIL import Image
 
     from hunyuan3d2_tpu.models import shapevae as sv
-    from hunyuan3d2_tpu.pipelines import shapegen as sg
     from hunyuan3d2_tpu.pipelines.shapegen import Hunyuan3DDiTFlowMatchingPipeline
     from hunyuan3d2_tpu.volume.surface import SurfaceNetsExtractor
 
@@ -212,41 +200,58 @@ def shape_stage():
     log(f"shape done: {shape_sec:.2f}s (cond+dit {lat_sec:.2f} decode "
         f"{dec_sec:.2f} surface {surf_sec:.2f})")
 
-    # ---- MFU from XLA's cost model (VERDICT r2 #3) --------------------------
+    # ---- MFU, analytic (VERDICT r2 #3) --------------------------------------
+    # XLA's compiled cost_analysis() counts each lax.scan BODY once (not x
+    # trip count), undercounting every scanned program here by 5-15x, so the
+    # FLOPs are counted analytically: 2*params*tokens matmul work + 4*T^2*d*L
+    # attention (exact for the linear terms; ~10% envelope overall).
     mfu = {}
     try:
         with stage_guard(120, "mfu accounting"):
             ci = pipe.prepare_image(image)
             cond = pipe.encode_cond(ci["image"], True)
-            sigmas = jnp.asarray(pipe.scheduler.make_sigmas(5, None))
-            lat0 = pipe.prepare_latents(1, jax.random.PRNGKey(0))
-            dit_flops = _flops_of(sg._sample_loop.lower(
-                pipe.model_params, pipe.model_cfg, lat0, cond, sigmas,
-                jnp.float32(5.0), True, False))
-            hidden = sv._decode_latents_jit(pipe.vae.params, pipe.vae.cfg, lat)
-            kv = sv._compute_kv_jit(pipe.vae.params, pipe.vae.cfg, hidden)
-            dec_flops = _flops_of(sv._grid_decode_jit.lower(
-                pipe.vae.params, pipe.vae.cfg, kv, "flashvdm", octree,
-                num_chunks, 1.01, 0.0, dec.block, dec.capacity_frac,
-                dec.coarse_factor, "actives", getattr(dec, "topk_mode", "mean")))
-            # the measured cond+dit window = preprocess + DINOv2-giant encode
-            # + 5-step DiT loop; count the encode FLOPs too so its MFU
-            # reflects the window's actual compute
-            from hunyuan3d2_tpu.models import dinov2 as dino_lib
 
+            def n_params(tree):
+                return sum(int(x.size) for x in jax.tree.leaves(tree))
+
+            # 5-step CFG DiT: batch 2, joint sequence latents+cond tokens
+            mcfg = pipe.model_cfg
+            T = 512 + cond.shape[1]
+            n_attn = mcfg.depth + mcfg.depth_single_blocks
+            dit_flops = 5 * 2 * (2 * n_params(pipe.model_params) * T
+                                 + 4 * T * T * mcfg.hidden_size * n_attn)
+            # DINOv2-giant encode: one pass over 1370 tokens (uncond is a
+            # zeros tensor, not an encode - conditioner.py)
             enc = pipe.conditioner.main
-            pix = enc.preprocess(ci["image"])
-            dino_flops = _flops_of(dino_lib.apply_jit.lower(
-                enc.params, enc.cfg.dino, pix))
-            if dit_flops:
-                mfu["dit_denoise_tflops"] = round(dit_flops / 1e12, 2)
-                window = dit_flops + (dino_flops or 0.0)
-                mfu["mfu_cond_dit"] = round(window / lat_sec / PEAK_BF16, 4)
-            if dino_flops:
-                mfu["dino_encode_tflops"] = round(dino_flops / 1e12, 2)
-            if dec_flops:
-                mfu["volume_decode_tflops"] = round(dec_flops / 1e12, 2)
-                mfu["mfu_volume_decode"] = round(dec_flops / dec_sec / PEAK_BF16, 4)
+            dcfg = enc.cfg.dino
+            Td = dcfg.seq_len
+            dino_flops = (2 * n_params(enc.params) * Td
+                          + 4 * Td * Td * dcfg.hidden_size * dcfg.num_layers)
+            window = dit_flops + dino_flops
+            mfu["dit_denoise_tflops"] = round(dit_flops / 1e12, 2)
+            mfu["dino_encode_tflops"] = round(dino_flops / 1e12, 2)
+            mfu["mfu_cond_dit"] = round(window / lat_sec / PEAK_BF16, 4)
+
+            # block-sparse volume decode: (padded coarse pass + top-k fine
+            # blocks) x per-query geo-decoder cost
+            vcfg = pipe.vae.cfg
+            g = pipe.vae.params["geo_decoder"]
+            lin = sum(int(g[k]["w"].size) for k in
+                      ("query_proj", "c_q", "c_proj", "mlp_fc", "mlp_proj",
+                       "output_proj") if k in g)
+            per_q = 2 * lin + 4 * vcfg.num_latents * vcfg.width
+            nb = -(-(octree + 1) // dec.block)
+            ncp = nb * dec.coarse_factor + 1
+            chunk = min(num_chunks, ncp ** 3)
+            coarse_q = -(-ncp ** 3 // chunk) * chunk       # incl. padding
+            fine_q = max(1, min(int(nb ** 3 * dec.capacity_frac),
+                                nb ** 3)) * dec.block ** 3
+            dec_flops = (coarse_q + fine_q) * per_q
+            mfu["volume_decode_tflops"] = round(dec_flops / 1e12, 2)
+            mfu["volume_decode_queries_m"] = round(
+                (coarse_q + fine_q) / 1e6, 2)
+            mfu["mfu_volume_decode"] = round(
+                dec_flops / dec_sec / PEAK_BF16, 4)
     except Exception as e:  # pragma: no cover
         log(f"mfu accounting skipped: {e!r}")
 
@@ -258,6 +263,11 @@ def shape_stage():
         "cond_dit_sec": round(lat_sec, 4),
         "volume_decode_sec": round(dec_sec, 4),
         "surface_sec": round(surf_sec, 4),
+        # honest-labeling (VERDICT r2 weak#2): stages 1-3 are timed on real
+        # model outputs; the surface stage runs on the analytic sphere grid
+        # (random weights decode to a noise SDF with pathological active-cell
+        # counts — see module docstring)
+        "composition": "cond+dit+decode real; surface on sphere fixture",
         **mfu,
     }
     return record, pipe, out, image
@@ -274,10 +284,18 @@ def texture_stage(pipe, out, image):
     )
     from hunyuan3d2_tpu.pipelines.texgen import Hunyuan3DPaintPipeline
 
-    # offload the shape models to host before the paint stack loads (the
-    # tunnel's HBM quota does not fit both stages' params + workspaces; the
-    # reference does the same with accelerate CPU offload in low_vram_mode)
-    pipe.offload_to_host()
+    # free the shape models' HBM before the paint stack loads (the tunnel's
+    # quota does not fit both stages' params + workspaces). Dropping the
+    # references frees device memory instantly; offload_to_host would pull
+    # ~2.5 GB through the remote tunnel (~19 min, measured — the entire
+    # round-2 bench timeout). Production serving uses offload/restore
+    # (shapegen.py:202-225); the bench never reuses the shape stack.
+    pipe.model_params = None
+    pipe.vae.params = None
+    pipe.conditioner.main.params = None
+    import gc
+
+    gc.collect()
     paint = Hunyuan3DPaintPipeline.init_random(
         jax.random.PRNGKey(1), size="full", view_size=512,
         render_size=2048, texture_size=2048, num_inference_steps=5)
@@ -332,6 +350,8 @@ def main():
         "vs_baseline": round(10.0 / total, 3),
         "shape_sec": record["value"],
         "texture_sec": round(texture_sec, 4),
+        "composition": "cond+dit+decode real; surface/postprocess/paint/bake "
+                       "on the sphere-fixture mesh (stage-sum, not one pass)",
         **{k: v for k, v in record.items()
            if k not in ("metric", "value", "unit", "vs_baseline")},
         **tex,
