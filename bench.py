@@ -93,16 +93,20 @@ def median(xs):
 
 
 def build_sphere_device(octree):
+    # computed on device: host numpy first-touch over 385^3 costs ~70 s on
+    # this host (measured), the jitted version is milliseconds
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
-    lin = np.linspace(-1.01, 1.01, octree + 1, dtype=np.float32)
-    xx = lin.reshape(-1, 1, 1)
-    yy = lin.reshape(1, -1, 1)
-    zz = lin.reshape(1, 1, -1)
-    sphere = (0.6 - np.sqrt(xx * xx + yy * yy + zz * zz)).astype(np.float32)
-    return jax.device_put(jnp.asarray(sphere, jnp.float16))
+    def _sphere():
+        lin = jnp.linspace(-1.01, 1.01, octree + 1, dtype=jnp.float32)
+        r = jnp.sqrt(lin[:, None, None] ** 2 + lin[None, :, None] ** 2
+                     + lin[None, None, :] ** 2)
+        return (0.6 - r).astype(jnp.float16)
+
+    out = jax.jit(_sphere)()
+    out.block_until_ready()
+    return out
 
 
 def shape_stage():
@@ -157,15 +161,24 @@ def shape_stage():
     from hunyuan3d2_tpu.volume.decoders import extract_active_cells
 
     sphere_dev = build_sphere_device(octree)
+    log(f"sphere fixture built at t={time.perf_counter() - T0:.1f}s")
     cap = active_capacity(octree)
     extract = jax.jit(functools.partial(extract_active_cells,
                                         level=0.0, capacity=cap))
     extractor = SurfaceNetsExtractor()
 
-    def run_surface():
+    def run_surface(verbose=False):
+        t0 = time.perf_counter()
         cell_flat, vals, count = extract(sphere_dev)
-        return extractor.from_actives(cell_flat, vals, int(count),
-                                      octree + 1, 0.0, 1.01)
+        jax.block_until_ready((cell_flat, vals, count))
+        t1 = time.perf_counter()
+        n = int(count)
+        t2 = time.perf_counter()
+        r = extractor.from_actives(cell_flat, vals, n, octree + 1, 0.0, 1.01)
+        if verbose:
+            log(f"  surface sub: extract {t1 - t0:.2f}s count-fetch "
+                f"{t2 - t1:.2f}s from_actives {time.perf_counter() - t2:.2f}s")
+        return r
 
     # warmup (compiles; persistent cache makes re-runs cheap). Host allocator
     # arenas first-touch at ~100 MB/s on this host → run surface twice.
@@ -174,8 +187,8 @@ def shape_stage():
         log(f"warmup latents done at t={time.perf_counter() - T0:.1f}s")
         run_decode(lat)
         log(f"warmup decode done at t={time.perf_counter() - T0:.1f}s")
-        run_surface()
-        run_surface()
+        run_surface(verbose=True)
+        run_surface(verbose=True)
         log(f"warmup surface done at t={time.perf_counter() - T0:.1f}s")
 
     n_runs = 3
