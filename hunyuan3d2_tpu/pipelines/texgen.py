@@ -164,23 +164,32 @@ class Hunyuan3DPaintPipeline:
         """Parity: texgen/pipelines.py:161-166."""
         return self.render.uv_inpaint(texture, mask)
 
-    def _call_device(self, images_prompt, elevs, azims, weights):
+    def _call_device(self, mesh, images_prompt, elevs, azims, weights):
         """Fully device-resident texture stage (TPU): cond-map renders, the
         diffusion denoise, and the texture bake all run on the chip via the
         Pallas rasterizer (geometry/render_tpu.py) — the only texture-sized
-        host transfer is the final baked atlas. Returns None (→ host path)
-        off-TPU, for per-corner-UV meshes, or when HY3D_DEVICE_BAKE=0.
-        HY3D_DEVICE_BAKE=force runs it on any backend (CPU tests exercise
-        the full path through the Pallas interpreter)."""
+        host transfer is the final baked atlas. Returns ``(out, wrapped)``
+        where ``out`` is None (→ host path) off-TPU, for per-corner-UV
+        meshes, or when HY3D_DEVICE_BAKE=0, and ``wrapped`` is the
+        UV-unwrapped mesh if the unwrap already ran (so the host fallback
+        never unwraps twice). HY3D_DEVICE_BAKE=force runs it on any backend
+        (CPU tests exercise the full path through the Pallas interpreter).
+
+        The host UV unwrap (~2-3 s at 40k faces) is color-independent, so it
+        runs WHILE the dispatched diffusion denoises on the chip: cond maps
+        only need positions/normals (uploaded from the raw mesh — the unwrap
+        splits seam vertices but never moves them, so the auto_center
+        transform and the rendered geometry are identical), and only the
+        bake consumes UVs."""
         import os
 
         import jax
 
         flag = os.environ.get("HY3D_DEVICE_BAKE", "1")
         if flag not in ("1", "force"):
-            return None
+            return None, None
         if flag != "force" and jax.default_backend() != "tpu":
-            return None
+            return None, None
         from hunyuan3d2_tpu.geometry.render_tpu import (
             bake_tpu_prepared,
             cond_maps_tpu,
@@ -188,9 +197,9 @@ class Hunyuan3DPaintPipeline:
             upload_mesh,
         )
 
-        dev_mesh = upload_mesh(self.render, need_uv=True)
-        if dev_mesh is None:
-            return None
+        # phase 1: geometry-only upload of the RAW mesh for the cond maps
+        self.render.load_mesh(mesh)
+        dev_geo = upload_mesh(self.render)
         import jax.numpy as jnp
 
         mvs = np.stack([self.render._mvp(e, a)[0]
@@ -206,22 +215,37 @@ class Hunyuan3DPaintPipeline:
             np.asarray(x.ravel()[0])
 
         with timed_scope("Cond Maps (device)"):
-            normal_dev, position_dev = cond_maps_tpu(dev_mesh, mvps_d,
+            normal_dev, position_dev = cond_maps_tpu(dev_geo, mvps_d,
                                                      cond_res)
             _sync(normal_dev)
         camera_info = [camera_info_index(azim, elev)
                        for azim, elev in zip(azims, elevs)]
-        # bake phase A (UV geometry + per-view weight/index maps) is
-        # color-independent: dispatch it BEFORE the diffusion so its raster
-        # transients execute before the denoise's memory peak, and only the
-        # tiny color-accumulate phase remains afterwards. The view raster
-        # only contributes DEPTH + RELIABILITY here (color is sampled from
-        # the diffusion views), so 1024² suffices — the reference's 2048²
-        # raster carried the splat's UV coordinates, which the gather
-        # formulation doesn't need.
+        # dispatch the diffusion FIRST (async) ...
+        with timed_scope("Multiview Diffusion (dispatch)"):
+            device_views = self.models["multiview_model"](
+                images_prompt, (normal_dev, position_dev), camera_info,
+                output_type="device")
+        # ... and unwrap on the host while the chip denoises
+        with timed_scope("UV Unwrap (overlaps denoise)"):
+            wrapped = mesh_uv_wrap(mesh)
+        self.render.load_mesh(wrapped)
+        dev_mesh = upload_mesh(self.render, need_uv=True)
+        if dev_mesh is None:
+            # per-corner UVs → host back-project fallback (rare; the
+            # dispatched diffusion is re-run there)
+            return None, wrapped
         bake_raster = min(1024, max(self.render.default_resolution))
         view_size = getattr(self.models["multiview_model"], "view_size", 512)
         up_res = min(1024, 2 * view_size)
+        with timed_scope("Multiview Diffusion (device)"):
+            _sync(device_views)
+        del normal_dev, position_dev   # free HBM before the bake
+        # bake phase A (UV geometry + per-view weight/index maps) runs after
+        # the denoise completes so its raster transients never overlap the
+        # diffusion's memory peak. The view raster only contributes DEPTH +
+        # RELIABILITY here (color is sampled from the diffusion views), so
+        # 1024² suffices — the reference's 2048² raster carried the splat's
+        # UV coordinates, which the gather formulation doesn't need.
         with timed_scope("Bake Geometry (device)"):
             geom = prepare_bake_tpu(
                 dev_mesh, jnp.asarray(mvs), mvps_d,
@@ -229,12 +253,6 @@ class Hunyuan3DPaintPipeline:
                 tex_res=self.render.texture_size[0], up_res=up_res,
                 exp=float(self.config.bake_exp))
             _sync(geom[-1][0])
-        with timed_scope("Multiview Diffusion (device)"):
-            device_views = self.models["multiview_model"](
-                images_prompt, (normal_dev, position_dev), camera_info,
-                output_type="device")
-            _sync(device_views)
-        del normal_dev, position_dev   # free HBM before the bake
         with timed_scope("Texture Baking (device)"):
             texture_d, trust_d = bake_tpu_prepared(
                 geom, device_views, self.render.texture_size[0],
@@ -250,7 +268,7 @@ class Hunyuan3DPaintPipeline:
         with timed_scope("Texture Inpaint"):
             texture = self.texture_inpaint(texture, mask_np)
         self.render.set_texture(texture)
-        return self.render.save_mesh()
+        return self.render.save_mesh(), wrapped
 
     # -- main ------------------------------------------------------------------------
     def __call__(self, mesh, image):
@@ -262,17 +280,14 @@ class Hunyuan3DPaintPipeline:
                          for im in image]
         images_prompt = [self.recenter_image(im) for im in images_prompt]
 
-        with timed_scope("UV Unwrap"):
-            mesh = mesh_uv_wrap(mesh)
-        self.render.load_mesh(mesh)
-
         elevs = self.config.candidate_camera_elevs
         azims = self.config.candidate_camera_azims
         weights = self.config.candidate_view_weights
 
+        wrapped = None
         try:
-            device_out = self._call_device(images_prompt, elevs, azims,
-                                           weights)
+            device_out, wrapped = self._call_device(
+                mesh, images_prompt, elevs, azims, weights)
         except Exception as e:  # OOM etc. — degrade to the host bake path
             import gc
             import time
@@ -288,6 +303,14 @@ class Hunyuan3DPaintPipeline:
             time.sleep(5.0)
         if device_out is not None:
             return device_out
+
+        # host path: needs the unwrapped mesh in the render (the device path
+        # may have unwrapped already — never unwrap twice)
+        if wrapped is None:
+            with timed_scope("UV Unwrap"):
+                wrapped = mesh_uv_wrap(mesh)
+        mesh = wrapped
+        self.render.load_mesh(mesh)
 
         # render the control maps at the diffusion view size directly (the
         # reference renders at 2048 then downsizes to 512 — same information,
