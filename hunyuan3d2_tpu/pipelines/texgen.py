@@ -221,6 +221,9 @@ class Hunyuan3DPaintPipeline:
         camera_info = [camera_info_index(azim, elev)
                        for azim, elev in zip(azims, elevs)]
         # dispatch the diffusion FIRST (async) ...
+        import time as _time
+
+        t_disp = _time.perf_counter()
         with timed_scope("Multiview Diffusion (dispatch)"):
             device_views = self.models["multiview_model"](
                 images_prompt, (normal_dev, position_dev), camera_info,
@@ -239,6 +242,13 @@ class Hunyuan3DPaintPipeline:
         up_res = min(1024, 2 * view_size)
         with timed_scope("Multiview Diffusion (device)"):
             _sync(device_views)
+        # dispatch→ready wall window of the whole diffusion stage (control
+        # VAE encodes + denoise scan + per-view VAE decode), INCLUDING the
+        # part hidden under the UV unwrap — the bench's MFU denominator
+        from hunyuan3d2_tpu.utils.timer import LAST_TIMINGS
+
+        LAST_TIMINGS["Diffusion Window (device)"] = (
+            _time.perf_counter() - t_disp)
         del normal_dev, position_dev   # free HBM before the bake
         # bake phase A (UV geometry + per-view weight/index maps) runs after
         # the denoise completes so its raster transients never overlap the
