@@ -60,6 +60,8 @@ class ModelWorker:
         from hunyuan3d2_tpu.utils.rembg import BackgroundRemover
 
         self.worker_id = str(uuid.uuid4())[:6]
+        self.random_weights = random_weights
+        self.pipeline_t2i = None
         # parity: api_server.py --limit-model-concurrency (the reference
         # gates concurrent generations with a semaphore)
         self.model_semaphore = threading.Semaphore(limit_model_concurrency)
@@ -103,8 +105,26 @@ class ModelWorker:
         if "image" in params:
             img_bytes = base64.b64decode(params["image"])
             image = Image.open(io.BytesIO(img_bytes))
+        elif "text" in params:
+            # t23d front-end (parity: reference api_server.py:192-194 —
+            # prompt → HunyuanDiT image → shape). Lazily constructed: the
+            # JAX-native pipeline when a checkpoint/random-weight mode is
+            # available, else the diffusers/sidecar backends.
+            if self.pipeline_t2i is None:
+                from hunyuan3d2_tpu.utils.text2image import (
+                    HunyuanDiTPipeline,
+                )
+
+                if self.random_weights:
+                    os.environ.setdefault("HY3D_RANDOM_WEIGHTS", "1")
+                self.pipeline_t2i = HunyuanDiTPipeline(
+                    model_path=os.environ.get(
+                        "HY3D_T2I_MODEL",
+                        "Tencent-Hunyuan/HunyuanDiT-v1.1-Diffusers-Distilled"))
+            image = self.pipeline_t2i(params["text"],
+                                      seed=params.get("seed", 0))
         else:
-            raise ValueError("No input image provided")
+            raise ValueError("No input image or text provided")
         image = self.rembg(image)
 
         seed = params.get("seed", 1234)

@@ -110,6 +110,10 @@ def _resolve_dtype(dtype):
             import ml_dtypes
 
             return np.dtype(ml_dtypes.bfloat16)
+        if dtype in ("fp32", "f32"):
+            return np.dtype(np.float32)
+        if dtype in ("fp16", "f16"):
+            return np.dtype(np.float16)
         return np.dtype(dtype)
     return dtype
 

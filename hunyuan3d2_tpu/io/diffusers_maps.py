@@ -489,3 +489,225 @@ def load_upscale_pipeline(cls, ckpt_path: str, dtype="bf16", **kwargs):
     vae_params = map_sd_vae(_weights("vae"), vcfg, dtype)
     return cls(unet_params, ucfg, vae_params, vcfg,
                empty_prompt_embed(ckpt_path), **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# HunyuanDiT (text→image transformer, models/hunyuan_dit.py)
+# ---------------------------------------------------------------------------
+def _hdit_attn(sd, prefix, dtype):
+    return {
+        "q": _lin(sd, f"{prefix}.to_q", dtype),
+        "k": _lin(sd, f"{prefix}.to_k", dtype),
+        "v": _lin(sd, f"{prefix}.to_v", dtype),
+        "out": _lin(sd, f"{prefix}.to_out.0", dtype),
+        "q_norm_scale": sd[f"{prefix}.norm_q.weight"].astype(np.float32),
+        "q_norm_bias": sd[f"{prefix}.norm_q.bias"].astype(np.float32),
+        "k_norm_scale": sd[f"{prefix}.norm_k.weight"].astype(np.float32),
+        "k_norm_bias": sd[f"{prefix}.norm_k.bias"].astype(np.float32),
+    }
+
+
+def _hdit_block(sd, i, dtype, skip: bool):
+    pre = f"blocks.{i}"
+    p = {
+        "norm1_scale": sd[f"{pre}.norm1.norm.weight"].astype(np.float32),
+        "norm1_bias": sd[f"{pre}.norm1.norm.bias"].astype(np.float32),
+        "norm1_linear": _lin(sd, f"{pre}.norm1.linear", dtype),
+        "attn1": _hdit_attn(sd, f"{pre}.attn1", dtype),
+        "norm2_scale": sd[f"{pre}.norm2.weight"].astype(np.float32),
+        "norm2_bias": sd[f"{pre}.norm2.bias"].astype(np.float32),
+        "attn2": _hdit_attn(sd, f"{pre}.attn2", dtype),
+        "norm3_scale": sd[f"{pre}.norm3.weight"].astype(np.float32),
+        "norm3_bias": sd[f"{pre}.norm3.bias"].astype(np.float32),
+        "mlp_in": _lin(sd, f"{pre}.ff.net.0.proj", dtype),
+        "mlp_out": _lin(sd, f"{pre}.ff.net.2", dtype),
+    }
+    if skip:
+        p["skip_norm_scale"] = sd[f"{pre}.skip_norm.weight"].astype(np.float32)
+        p["skip_norm_bias"] = sd[f"{pre}.skip_norm.bias"].astype(np.float32)
+        p["skip_linear"] = _lin(sd, f"{pre}.skip_linear", dtype)
+    return p
+
+
+def map_hunyuan_dit(sd: Dict[str, np.ndarray], cfg, dtype="bf16") -> dict:
+    """diffusers HunyuanDiT2DModel state dict → models/hunyuan_dit pytree.
+
+    Layout notes: pos_embed.proj is a patch-stride conv [h, C, p, p] → our
+    patchify linear flattens (p_row, p_col, C) so the kernel transposes to
+    (kh, kw, in, out) then reshapes; per-layer blocks are STACKED (first
+    depth//2+1 under "blocks", the skip-consuming rest under "skip_blocks").
+    """
+    import jax
+    import numpy as _np
+
+    dtype = _resolve_dtype(dtype)
+    h = cfg.hidden_size
+    pw = sd["pos_embed.proj.weight"]  # [h, C, p, p]
+    patch = {
+        "w": _np.ascontiguousarray(
+            pw.transpose(2, 3, 1, 0).reshape(-1, h)).astype(dtype),
+        "b": sd["pos_embed.proj.bias"].astype(dtype),
+    }
+    params = {
+        "patch_embed": patch,
+        "text_embedder": {
+            "fc1": _lin(sd, "text_embedder.linear_1", dtype),
+            "fc2": _lin(sd, "text_embedder.linear_2", dtype),
+        },
+        "text_embedding_padding":
+            sd["text_embedding_padding"].astype(np.float32),
+        "timestep_embedder": {
+            "in_layer": _lin(sd, "time_extra_emb.timestep_embedder.linear_1",
+                             dtype),
+            "out_layer": _lin(sd, "time_extra_emb.timestep_embedder.linear_2",
+                              dtype),
+        },
+        "pooler": {
+            "pos": sd["time_extra_emb.pooler.positional_embedding"].astype(
+                np.float32),
+            "q": _lin(sd, "time_extra_emb.pooler.q_proj", dtype),
+            "k": _lin(sd, "time_extra_emb.pooler.k_proj", dtype),
+            "v": _lin(sd, "time_extra_emb.pooler.v_proj", dtype),
+            "out": _lin(sd, "time_extra_emb.pooler.c_proj", dtype),
+        },
+        "style_embedder":
+            sd["time_extra_emb.style_embedder.weight"].astype(np.float32),
+        "extra_embedder": {
+            "in_layer": _lin(sd, "time_extra_emb.extra_embedder.linear_1",
+                             dtype),
+            "out_layer": _lin(sd, "time_extra_emb.extra_embedder.linear_2",
+                              dtype),
+        },
+        "norm_out": {"linear": _lin(sd, "norm_out.linear", dtype)},
+        "proj_out": _lin(sd, "proj_out", dtype),
+    }
+    pre = [_hdit_block(sd, i, dtype, skip=False) for i in range(cfg.n_pre)]
+    post = [_hdit_block(sd, i + cfg.n_pre, dtype, skip=True)
+            for i in range(cfg.n_skip)]
+    params["blocks"] = jax.tree.map(lambda *xs: _np.stack(xs), *pre)
+    params["skip_blocks"] = jax.tree.map(lambda *xs: _np.stack(xs), *post)
+    return params
+
+
+def _x_hdit_attn(out, prefix, p):
+    _x_lin(out, f"{prefix}.to_q", p["q"])
+    _x_lin(out, f"{prefix}.to_k", p["k"])
+    _x_lin(out, f"{prefix}.to_v", p["v"])
+    _x_lin(out, f"{prefix}.to_out.0", p["out"])
+    out[f"{prefix}.norm_q.weight"] = np.asarray(p["q_norm_scale"], np.float32)
+    out[f"{prefix}.norm_q.bias"] = np.asarray(p["q_norm_bias"], np.float32)
+    out[f"{prefix}.norm_k.weight"] = np.asarray(p["k_norm_scale"], np.float32)
+    out[f"{prefix}.norm_k.bias"] = np.asarray(p["k_norm_bias"], np.float32)
+
+
+def export_hunyuan_dit(params, cfg) -> dict:
+    """models/hunyuan_dit pytree → diffusers-named state dict (round-trip
+    testing; also lets torch re-load our randomly initialized weights)."""
+    import jax
+    import numpy as _np
+
+    out = {}
+    p = params
+    w = _np.asarray(p["patch_embed"]["w"], _np.float32)
+    c = cfg.in_channels
+    ps = cfg.patch_size
+    out["pos_embed.proj.weight"] = _np.ascontiguousarray(
+        w.reshape(ps, ps, c, cfg.hidden_size).transpose(3, 2, 0, 1))
+    out["pos_embed.proj.bias"] = _np.asarray(p["patch_embed"]["b"],
+                                             _np.float32)
+    _x_lin(out, "text_embedder.linear_1", p["text_embedder"]["fc1"])
+    _x_lin(out, "text_embedder.linear_2", p["text_embedder"]["fc2"])
+    out["text_embedding_padding"] = _np.asarray(
+        p["text_embedding_padding"], _np.float32)
+    _x_lin(out, "time_extra_emb.timestep_embedder.linear_1",
+           p["timestep_embedder"]["in_layer"])
+    _x_lin(out, "time_extra_emb.timestep_embedder.linear_2",
+           p["timestep_embedder"]["out_layer"])
+    out["time_extra_emb.pooler.positional_embedding"] = _np.asarray(
+        p["pooler"]["pos"], _np.float32)
+    _x_lin(out, "time_extra_emb.pooler.q_proj", p["pooler"]["q"])
+    _x_lin(out, "time_extra_emb.pooler.k_proj", p["pooler"]["k"])
+    _x_lin(out, "time_extra_emb.pooler.v_proj", p["pooler"]["v"])
+    _x_lin(out, "time_extra_emb.pooler.c_proj", p["pooler"]["out"])
+    out["time_extra_emb.style_embedder.weight"] = _np.asarray(
+        p["style_embedder"], _np.float32)
+    _x_lin(out, "time_extra_emb.extra_embedder.linear_1",
+           p["extra_embedder"]["in_layer"])
+    _x_lin(out, "time_extra_emb.extra_embedder.linear_2",
+           p["extra_embedder"]["out_layer"])
+    _x_lin(out, "norm_out.linear", p["norm_out"]["linear"])
+    _x_lin(out, "proj_out", p["proj_out"])
+
+    def unstack(tree, n):
+        return [jax.tree.map(lambda x: _np.asarray(x[i]), tree)
+                for i in range(n)]
+
+    for i, blk in enumerate(unstack(p["blocks"], cfg.n_pre)
+                            + unstack(p["skip_blocks"], cfg.n_skip)):
+        pre = f"blocks.{i}"
+        out[f"{pre}.norm1.norm.weight"] = blk["norm1_scale"]
+        out[f"{pre}.norm1.norm.bias"] = blk["norm1_bias"]
+        _x_lin(out, f"{pre}.norm1.linear", blk["norm1_linear"])
+        _x_hdit_attn(out, f"{pre}.attn1", blk["attn1"])
+        out[f"{pre}.norm2.weight"] = blk["norm2_scale"]
+        out[f"{pre}.norm2.bias"] = blk["norm2_bias"]
+        _x_hdit_attn(out, f"{pre}.attn2", blk["attn2"])
+        out[f"{pre}.norm3.weight"] = blk["norm3_scale"]
+        out[f"{pre}.norm3.bias"] = blk["norm3_bias"]
+        _x_lin(out, f"{pre}.ff.net.0.proj", blk["mlp_in"])
+        _x_lin(out, f"{pre}.ff.net.2", blk["mlp_out"])
+        if "skip_linear" in blk:
+            out[f"{pre}.skip_norm.weight"] = blk["skip_norm_scale"]
+            out[f"{pre}.skip_norm.bias"] = blk["skip_norm_bias"]
+            _x_lin(out, f"{pre}.skip_linear", blk["skip_linear"])
+    return out
+
+
+def load_t2i_pipeline(cls, ckpt_path: str, dtype="bf16", **kwargs):
+    """diffusers HunyuanDiT checkpoint directory → HunyuanDiTJAXPipeline.
+    Text encoders load lazily through transformers (CPU torch) when present;
+    without them the pipeline falls back to its test embeddings."""
+    import dataclasses
+    import json
+    import os
+
+    from hunyuan3d2_tpu.io.checkpoints import load_state_dict
+    from hunyuan3d2_tpu.models import hunyuan_dit, sd_vae
+
+    def _json(sub):
+        p = os.path.join(ckpt_path, sub, "config.json")
+        return json.load(open(p)) if os.path.exists(p) else {}
+
+    tj = _json("transformer")
+    head = tj.get("attention_head_dim", 88)
+    nh = tj.get("num_attention_heads", 16)
+    dcfg = dataclasses.replace(
+        hunyuan_dit.FULL,
+        hidden_size=head * nh, num_heads=nh,
+        depth=tj.get("num_layers", 40),
+        in_channels=tj.get("in_channels", 4),
+        mlp_ratio=tj.get("mlp_ratio", 4.0),
+        text_dim=tj.get("cross_attention_dim", 1024),
+        t5_dim=tj.get("cross_attention_dim_t5", 2048),
+        text_len=tj.get("text_len", 77), t5_len=tj.get("text_len_t5", 256),
+    )
+
+    def _weights(sub):
+        for name in ("diffusion_pytorch_model.safetensors",
+                     "diffusion_pytorch_model.bin"):
+            p = os.path.join(ckpt_path, sub, name)
+            if os.path.exists(p):
+                return load_state_dict(p)
+        raise FileNotFoundError(f"no weights under {ckpt_path}/{sub}")
+
+    dit_params = map_hunyuan_dit(_weights("transformer"), dcfg, dtype)
+    vj = _json("vae")
+    vcfg = sd_vae.SDVAEConfig(
+        latent_channels=vj.get("latent_channels", 4),
+        block_out_channels=tuple(vj.get("block_out_channels",
+                                        (128, 256, 512, 512))),
+        layers_per_block=vj.get("layers_per_block", 2),
+        scaling_factor=vj.get("scaling_factor", 0.13025),
+    )
+    vae_params = map_sd_vae(_weights("vae"), vcfg, dtype)
+    return cls(dit_params, dcfg, vae_params, vcfg, **kwargs)

@@ -54,6 +54,25 @@ def _diffusers_backend(model_path: str, device: str):
     return run
 
 
+def _jax_backend(ckpt_path):
+    """The in-repo JAX-native HunyuanDiT pipeline (pipelines/t2i.py): real
+    checkpoints when ``ckpt_path`` is a diffusers-layout directory, a tiny
+    random-weight pipeline otherwise (smoke/demo flows)."""
+    from hunyuan3d2_tpu.pipelines.t2i import HunyuanDiTJAXPipeline
+
+    if ckpt_path:
+        pipe = HunyuanDiTJAXPipeline.from_pretrained(str(ckpt_path))
+    else:
+        pipe = HunyuanDiTJAXPipeline.init_random(resolution=64,
+                                                 num_inference_steps=4)
+
+    def run(prompt, negative_prompt, seed):
+        return pipe(prompt, seed=seed, negative_prompt=negative_prompt)
+
+    run.pipe = pipe
+    return run
+
+
 def _command_backend(cmd: str):
     import subprocess
     import tempfile
@@ -81,6 +100,10 @@ class HunyuanDiTPipeline:
         self.model_path = model_path
         self.pos_txt = "," + POSITIVE_SUFFIX
         self.neg_txt = NEGATIVE_PROMPT
+        if backend is None and os.path.isdir(
+                os.path.join(str(model_path), "transformer")):
+            # local diffusers-layout checkpoint → the JAX-native pipeline
+            backend = _jax_backend(model_path)
         if backend is None:
             try:
                 backend = _diffusers_backend(model_path, device)
@@ -88,13 +111,17 @@ class HunyuanDiTPipeline:
                 cmd = os.environ.get("HY3D_T2I_CMD", "")
                 if cmd:
                     backend = _command_backend(cmd)
+        if backend is None and os.environ.get("HY3D_RANDOM_WEIGHTS") == "1":
+            backend = _jax_backend(None)   # tiny random-weight JAX pipeline
         if backend is None:
-            raise NotImplementedError(
-                "No text-to-image backend available: diffusers is not "
-                "installed, HY3D_T2I_CMD is unset, and no backend callable "
-                "was passed. Provide `backend=callable(prompt, "
-                "negative_prompt, seed) -> PIL.Image`, install diffusers, or "
-                "point HY3D_T2I_CMD at a t2i sidecar command."
+            raise RuntimeError(
+                "No text-to-image backend available: no local HunyuanDiT "
+                "checkpoint directory at model_path (JAX-native pipeline, "
+                "pipelines/t2i.py), diffusers is not installed, HY3D_T2I_CMD "
+                "is unset, and no backend callable was passed. Provide "
+                "`backend=callable(prompt, negative_prompt, seed) -> "
+                "PIL.Image`, a checkpoint path, or set HY3D_RANDOM_WEIGHTS=1 "
+                "for a random-weight smoke pipeline."
             )
         self.backend = backend
 

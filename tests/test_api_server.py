@@ -110,3 +110,13 @@ def test_unknown_route(server):
         assert False
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_generate_from_text(server):
+    """t23d route parity (reference api_server.py:192-194): a 'text' param
+    runs the JAX-native HunyuanDiT t2i front-end, then shape gen."""
+    payload = {"text": "一只可爱的猫",
+               "octree_resolution": 32, "num_inference_steps": 2, "seed": 3}
+    with _post(server + "/generate", payload, timeout=900) as resp:
+        data = resp.read()
+    assert data[:4] == b"glTF"
