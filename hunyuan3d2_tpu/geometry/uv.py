@@ -53,17 +53,10 @@ def _face_components_in_bucket(faces: np.ndarray, bucket: np.ndarray,
                                n_vertices: int) -> np.ndarray:
     """Union-find over faces; union only across edges whose two faces share
     the same bucket. Returns per-face chart id."""
+    import scipy.sparse
+    import scipy.sparse.csgraph
+
     nf = len(faces)
-    parent = np.arange(nf)
-
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
     edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
     edges = np.sort(edges, axis=1)
     face_of_edge = np.tile(np.arange(nf), 3)
@@ -72,14 +65,14 @@ def _face_components_in_bucket(faces: np.ndarray, bucket: np.ndarray,
     key_s = key[order]
     face_s = face_of_edge[order]
     same = key_s[1:] == key_s[:-1]
-    for i in np.nonzero(same)[0]:
-        fa, fb = face_s[i], face_s[i + 1]
-        if bucket[fa] == bucket[fb]:
-            ra, rb = find(fa), find(fb)
-            if ra != rb:
-                parent[rb] = ra
-    roots = np.array([find(i) for i in range(nf)])
-    _, chart = np.unique(roots, return_inverse=True)
+    fa, fb = face_s[:-1][same], face_s[1:][same]
+    keep = bucket[fa] == bucket[fb]
+    fa, fb = fa[keep], fb[keep]
+    g = scipy.sparse.coo_matrix(
+        (np.ones(len(fa), np.int8), (fa, fb)), shape=(nf, nf))
+    _, labels = scipy.sparse.csgraph.connected_components(g, directed=False)
+    # relabel in root-sorted order for a stable, deterministic id space
+    _, chart = np.unique(labels, return_inverse=True)
     return chart
 
 
@@ -93,16 +86,21 @@ def _face_adjacency(faces: np.ndarray, n_vertices: int) -> np.ndarray:
     order = np.argsort(key, kind="stable")
     key_s, face_s = key[order], face_of_edge[order]
     nbr = np.full((nf, 3), -1, np.int64)
-    cnt = np.zeros(nf, np.int64)
     same = np.nonzero(key_s[1:] == key_s[:-1])[0]
-    for i in same:
-        fa, fb = face_s[i], face_s[i + 1]
-        if cnt[fa] < 3:
-            nbr[fa, cnt[fa]] = fb
-            cnt[fa] += 1
-        if cnt[fb] < 3:
-            nbr[fb, cnt[fb]] = fa
-            cnt[fb] += 1
+    # both directions of every shared-edge pair, in the original loop's
+    # insertion order, then one vectorized per-face slot assignment
+    src = np.concatenate([face_s[same], face_s[same + 1]])
+    dst = np.concatenate([face_s[same + 1], face_s[same]])
+    interleave = np.empty(2 * len(same), np.int64)
+    interleave[0::2] = np.arange(len(same))
+    interleave[1::2] = np.arange(len(same)) + len(same)
+    src, dst = src[interleave], dst[interleave]
+    o = np.argsort(src, kind="stable")
+    src_s, dst_s = src[o], dst[o]
+    starts = np.searchsorted(src_s, np.arange(nf))
+    slot = np.arange(len(src_s)) - starts[src_s]
+    m = slot < 3
+    nbr[src_s[m], slot[m]] = dst_s[m]
     return nbr
 
 

@@ -84,9 +84,10 @@ def test_t2i_raises_without_backend(monkeypatch):
     from hunyuan3d2_tpu.utils import text2image
 
     monkeypatch.delenv("HY3D_T2I_CMD", raising=False)
+    monkeypatch.delenv("HY3D_RANDOM_WEIGHTS", raising=False)
     monkeypatch.setattr(text2image, "_diffusers_backend",
                         lambda *a: (_ for _ in ()).throw(ImportError()))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(RuntimeError):
         text2image.HunyuanDiTPipeline()
 
 
