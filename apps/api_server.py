@@ -62,6 +62,7 @@ class ModelWorker:
         self.worker_id = str(uuid.uuid4())[:6]
         self.random_weights = random_weights
         self.pipeline_t2i = None
+        self._t2i_lock = threading.Lock()
         # parity: api_server.py --limit-model-concurrency (the reference
         # gates concurrent generations with a semaphore)
         self.model_semaphore = threading.Semaphore(limit_model_concurrency)
@@ -110,17 +111,21 @@ class ModelWorker:
             # prompt → HunyuanDiT image → shape). Lazily constructed: the
             # JAX-native pipeline when a checkpoint/random-weight mode is
             # available, else the diffusers/sidecar backends.
-            if self.pipeline_t2i is None:
-                from hunyuan3d2_tpu.utils.text2image import (
-                    HunyuanDiTPipeline,
-                )
+            # double-checked under a lock: up to limit_model_concurrency
+            # requests run here concurrently, and two simultaneous loads
+            # would duplicate a multi-GB checkpoint read + jit compiles
+            with self._t2i_lock:
+                if self.pipeline_t2i is None:
+                    from hunyuan3d2_tpu.utils.text2image import (
+                        HunyuanDiTPipeline,
+                    )
 
-                if self.random_weights:
-                    os.environ.setdefault("HY3D_RANDOM_WEIGHTS", "1")
-                self.pipeline_t2i = HunyuanDiTPipeline(
-                    model_path=os.environ.get(
-                        "HY3D_T2I_MODEL",
-                        "Tencent-Hunyuan/HunyuanDiT-v1.1-Diffusers-Distilled"))
+                    if self.random_weights:
+                        os.environ.setdefault("HY3D_RANDOM_WEIGHTS", "1")
+                    self.pipeline_t2i = HunyuanDiTPipeline(
+                        model_path=os.environ.get(
+                            "HY3D_T2I_MODEL",
+                            "Tencent-Hunyuan/HunyuanDiT-v1.1-Diffusers-Distilled"))
             image = self.pipeline_t2i(params["text"],
                                       seed=params.get("seed", 0))
         else:

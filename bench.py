@@ -329,6 +329,12 @@ def texture_stage(pipe, out, image):
         paint(m, image)  # warmup (compiles UNet/VAE at production shapes)
     log(f"paint warmup done at t={time.perf_counter() - T0:.1f}s")
 
+    # drop any window recorded by the warmup run: if the measured run falls
+    # back to the host path, a stale device window must read as "absent",
+    # not as this run's denominator
+    from hunyuan3d2_tpu.utils.timer import LAST_TIMINGS
+
+    LAST_TIMINGS.pop("Diffusion Window (device)", None)
     with stage_guard(min(600, remaining() - 15), "paint measure"):
         t0 = time.perf_counter()
         tex_mesh = paint(m, image)

@@ -570,8 +570,9 @@ def map_hunyuan_dit(sd: Dict[str, np.ndarray], cfg, dtype="bf16") -> dict:
             "v": _lin(sd, "time_extra_emb.pooler.v_proj", dtype),
             "out": _lin(sd, "time_extra_emb.pooler.c_proj", dtype),
         },
-        "style_embedder":
-            sd["time_extra_emb.style_embedder.weight"].astype(np.float32),
+        **({"style_embedder":
+            sd["time_extra_emb.style_embedder.weight"].astype(np.float32)}
+           if cfg.use_style_meta else {}),
         "extra_embedder": {
             "in_layer": _lin(sd, "time_extra_emb.extra_embedder.linear_1",
                              dtype),
@@ -629,8 +630,9 @@ def export_hunyuan_dit(params, cfg) -> dict:
     _x_lin(out, "time_extra_emb.pooler.k_proj", p["pooler"]["k"])
     _x_lin(out, "time_extra_emb.pooler.v_proj", p["pooler"]["v"])
     _x_lin(out, "time_extra_emb.pooler.c_proj", p["pooler"]["out"])
-    out["time_extra_emb.style_embedder.weight"] = _np.asarray(
-        p["style_embedder"], _np.float32)
+    if "style_embedder" in p:
+        out["time_extra_emb.style_embedder.weight"] = _np.asarray(
+            p["style_embedder"], _np.float32)
     _x_lin(out, "time_extra_emb.extra_embedder.linear_1",
            p["extra_embedder"]["in_layer"])
     _x_lin(out, "time_extra_emb.extra_embedder.linear_2",
@@ -663,10 +665,52 @@ def export_hunyuan_dit(params, cfg) -> dict:
     return out
 
 
+def _build_t2i_text_encoder(ckpt_path: str, dcfg):
+    """transformers-backed text encoding for a diffusers HunyuanDiT layout:
+    text_encoder/ = Chinese-CLIP BertModel, text_encoder_2/ = mT5 encoder.
+    Returns encode_text(prompt, negative) → (neg_states, pos_states) where
+    each is (clip [1,77,1024], clip_mask, t5 [1,256,2048], t5_mask) — or
+    None when the dirs or transformers are unavailable."""
+    import os
+
+    te1 = os.path.join(ckpt_path, "text_encoder")
+    te2 = os.path.join(ckpt_path, "text_encoder_2")
+    if not (os.path.isdir(te1) and os.path.isdir(te2)):
+        return None
+    try:
+        import torch
+        from transformers import AutoTokenizer, BertModel, T5EncoderModel
+    except ImportError:
+        return None
+    bert = BertModel.from_pretrained(te1).eval()
+    t5 = T5EncoderModel.from_pretrained(te2).eval()
+    tk1 = AutoTokenizer.from_pretrained(os.path.join(ckpt_path, "tokenizer"))
+    tk2 = AutoTokenizer.from_pretrained(os.path.join(ckpt_path, "tokenizer_2"))
+
+    def enc_one(text):
+        b = tk1(text, padding="max_length", max_length=dcfg.text_len,
+                truncation=True, return_tensors="pt")
+        tb = tk2(text, padding="max_length", max_length=dcfg.t5_len,
+                 truncation=True, return_tensors="pt")
+        with torch.no_grad():
+            clip = bert(input_ids=b.input_ids,
+                        attention_mask=b.attention_mask).last_hidden_state
+            t5s = t5(input_ids=tb.input_ids,
+                     attention_mask=tb.attention_mask).last_hidden_state
+        return (clip.float().numpy(), b.attention_mask.float().numpy(),
+                t5s.float().numpy(), tb.attention_mask.float().numpy())
+
+    def encode_text(prompt, negative_prompt):
+        return enc_one(negative_prompt), enc_one(prompt)
+
+    return encode_text
+
+
 def load_t2i_pipeline(cls, ckpt_path: str, dtype="bf16", **kwargs):
     """diffusers HunyuanDiT checkpoint directory → HunyuanDiTJAXPipeline.
-    Text encoders load lazily through transformers (CPU torch) when present;
-    without them the pipeline falls back to its test embeddings."""
+    Text encoders load through transformers (CPU torch) when the
+    text_encoder/ dirs exist; without them the pipeline falls back to its
+    pseudo-random test embeddings WITH a logged warning."""
     import dataclasses
     import json
     import os
@@ -681,15 +725,23 @@ def load_t2i_pipeline(cls, ckpt_path: str, dtype="bf16", **kwargs):
     tj = _json("transformer")
     head = tj.get("attention_head_dim", 88)
     nh = tj.get("num_attention_heads", 16)
+    depth = tj.get("num_layers", 40)
     dcfg = dataclasses.replace(
         hunyuan_dit.FULL,
         hidden_size=head * nh, num_heads=nh,
-        depth=tj.get("num_layers", 40),
+        depth=depth,
         in_channels=tj.get("in_channels", 4),
         mlp_ratio=tj.get("mlp_ratio", 4.0),
         text_dim=tj.get("cross_attention_dim", 1024),
         t5_dim=tj.get("cross_attention_dim_t5", 2048),
         text_len=tj.get("text_len", 77), t5_len=tj.get("text_len_t5", 256),
+        pooled_dim=tj.get("pooled_projection_dim", 1024),
+        # v1.1/v1.2 checkpoints drop the style + image-meta conditioning
+        use_style_meta=bool(
+            tj.get("use_style_cond_and_image_meta_size", True)),
+        # PAG layers outside a shallow checkpoint's depth would be dead
+        pag_layers=tuple(i for i in hunyuan_dit.FULL.pag_layers
+                         if i < depth),
     )
 
     def _weights(sub):
@@ -710,4 +762,7 @@ def load_t2i_pipeline(cls, ckpt_path: str, dtype="bf16", **kwargs):
         scaling_factor=vj.get("scaling_factor", 0.13025),
     )
     vae_params = map_sd_vae(_weights("vae"), vcfg, dtype)
-    return cls(dit_params, dcfg, vae_params, vcfg, **kwargs)
+    kwargs.setdefault("encode_text", _build_t2i_text_encoder(ckpt_path, dcfg))
+    pipe = cls(dit_params, dcfg, vae_params, vcfg, **kwargs)
+    pipe._from_checkpoint = True   # gates the pseudo-embedding warning
+    return pipe

@@ -53,8 +53,11 @@ class HunyuanDiTConfig:
     t5_dim: int = 2048             # mT5 encoder hidden
     t5_len: int = 256
     pooled_dim: int = 1024         # T5 attention-pool output
-    style_classes: int = 1         # v1.1 keeps a (single) style embedding
+    style_classes: int = 1         # v1.0 style embedding table size
     meta_dims: int = 6             # image_meta_size: (h, w, th, tw, cx, cy)
+    # diffusers use_style_cond_and_image_meta_size: True for v1.0 checkpoints,
+    # False for v1.1/v1.2 (extra conditioning = pooled text only)
+    use_style_meta: bool = True
     pag_layers: tuple = (16, 17, 18, 19)  # text2image.py:40 pag_applied_layers
 
     @property
@@ -134,7 +137,8 @@ def _stack_init(key, n, cfg, skip):
 def init(key, cfg: HunyuanDiTConfig = FULL):
     h = cfg.hidden_size
     ks = jax.random.split(key, 12)
-    pooled_in = cfg.pooled_dim + 256 * cfg.meta_dims + 128
+    pooled_in = cfg.pooled_dim + (
+        (256 * cfg.meta_dims + 128) if cfg.use_style_meta else 0)
     return {
         # patch embed: conv(patch,patch,stride patch) stored as a linear over
         # flattened patches [p*p*in → h] (diffusers pos_embed.proj)
@@ -158,9 +162,9 @@ def init(key, cfg: HunyuanDiTConfig = FULL):
             "v": Linear.init(ks[9], cfg.t5_dim, cfg.t5_dim),
             "out": Linear.init(ks[10], cfg.t5_dim, cfg.pooled_dim),
         },
-        "style_embedder": jax.random.normal(
+        **({"style_embedder": jax.random.normal(
             jax.random.fold_in(ks[11], 1), (cfg.style_classes, 128),
-            jnp.float32) * 0.02,
+            jnp.float32) * 0.02} if cfg.use_style_meta else {}),
         "extra_embedder": {
             "in_layer": Linear.init(jax.random.fold_in(ks[11], 2),
                                     pooled_in, h * 4),
@@ -311,15 +315,19 @@ def apply(params, cfg: HunyuanDiTConfig, x: Array, t: Array, ctx: Array,
     temb = Linear.apply(params["timestep_embedder"]["out_layer"], silu(
         Linear.apply(params["timestep_embedder"]["in_layer"],
                      timestep_embedding(t, 256, time_factor=1.0).astype(h.dtype))))
-    meta = (image_meta_size if image_meta_size is not None
-            else jnp.zeros((b, cfg.meta_dims), jnp.float32))
-    meta_emb = timestep_embedding(meta.reshape(-1), 256,
-                                  time_factor=1.0).reshape(
-        b, cfg.meta_dims * 256)
-    style_idx = style if style is not None else jnp.zeros((b,), jnp.int32)
-    style_emb = params["style_embedder"][style_idx]
-    extra = jnp.concatenate([pooled.astype(jnp.float32), meta_emb, style_emb],
-                            axis=-1).astype(h.dtype)
+    if cfg.use_style_meta:
+        meta = (image_meta_size if image_meta_size is not None
+                else jnp.zeros((b, cfg.meta_dims), jnp.float32))
+        meta_emb = timestep_embedding(meta.reshape(-1), 256,
+                                      time_factor=1.0).reshape(
+            b, cfg.meta_dims * 256)
+        style_idx = style if style is not None else jnp.zeros((b,), jnp.int32)
+        style_emb = params["style_embedder"][style_idx]
+        extra = jnp.concatenate(
+            [pooled.astype(jnp.float32), meta_emb, style_emb],
+            axis=-1).astype(h.dtype)
+    else:  # v1.1/v1.2: extra conditioning is the pooled text alone
+        extra = pooled.astype(h.dtype)
     temb = temb + Linear.apply(params["extra_embedder"]["out_layer"], silu(
         Linear.apply(params["extra_embedder"]["in_layer"], extra)))
 

@@ -79,10 +79,11 @@ def ddpm_step(pred: Array, t: Array, t_prev: Array, sample: Array,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dcfg", "vcfg", "gh", "gw", "pred_type"))
+                   static_argnames=("dcfg", "vcfg", "gh", "gw", "pred_type",
+                                    "use_pag"))
 def _t2i_loop(dit_params, dcfg, vae_params, vcfg, key, ctx, pooled, meta,
               timesteps, acp, guidance_scale, pag_scale, gh: int, gw: int,
-              pred_type: str = "v_prediction"):
+              pred_type: str = "v_prediction", use_pag: bool = True):
     """ctx [3, 333, D] (uncond | cond | cond-for-pag), pooled [3, P].
     Returns a decoded uint8 image [H*8, W*8, 3]."""
     key, k0 = jax.random.split(key)
@@ -100,7 +101,7 @@ def _t2i_loop(dit_params, dcfg, vae_params, vcfg, key, ctx, pooled, meta,
                                 pooled[:2], meta[:2])[..., :4]
         uncond, cond = out[:1].astype(jnp.float32), out[1:2].astype(jnp.float32)
         pred = uncond + guidance_scale * (cond - uncond)
-        if pag_scale is not None:
+        if use_pag:  # static: pag_scale=None compiles the branch away
             pag_out = hunyuan_dit.apply(
                 dit_params, dcfg, lat.astype(bf), tt[:1], ctx[2:3],
                 pooled[2:3], meta[2:3], pag=True)[..., :4].astype(jnp.float32)
@@ -164,6 +165,15 @@ class HunyuanDiTJAXPipeline:
         c = self.dit_cfg
         if self.encode_text is not None:
             return self.encode_text(prompt, negative_prompt)
+        if getattr(self, "_from_checkpoint", False):
+            # real weights but no text encoders found at load: the prompt
+            # would only seed an RNG — make that loudly visible
+            from hunyuan3d2_tpu.utils.logger import get_logger
+
+            get_logger("hunyuan3d2_tpu.t2i").warning(
+                "t2i: no text encoders loaded (text_encoder/ or transformers "
+                "missing) — conditioning on PSEUDO-RANDOM embeddings; the "
+                "prompt does not steer the image")
         # tests / random-weight runs: deterministic pseudo-embeddings
         # (zlib.crc32, not hash() — str hashing is per-process randomized)
         import zlib
@@ -180,11 +190,15 @@ class HunyuanDiTJAXPipeline:
 
     def __call__(self, prompt: str, seed: int = 0,
                  negative_prompt: str = ""):
+        """Raw engine: the prompt is encoded VERBATIM. The reference's
+        60-char truncation + Chinese positive/negative templates
+        (text2image.py:67-81) are applied by the user-facing wrapper
+        (utils/text2image.HunyuanDiTPipeline), not here — applying them in
+        both layers doubled the suffix."""
         from PIL import Image
 
         c = self.dit_cfg
-        neg, pos = self._text_states(prompt[:60] + self.pos_txt,
-                                     negative_prompt)
+        neg, pos = self._text_states(prompt, negative_prompt)
         ctxs, pools = [], []
         for clip, cm, t5, tm in (neg, pos, pos):
             ctx, pooled = hunyuan_dit.build_context(
@@ -202,9 +216,11 @@ class HunyuanDiTJAXPipeline:
         # VAE spatial factor = 2^(levels-1): 8 for SD (4 levels), 2 for TINY
         vae_factor = 2 ** (len(self.vae_cfg.block_out_channels) - 1)
         gh = gw = r // vae_factor
+        use_pag = self.pag_scale is not None and bool(c.pag_layers)
         img = _t2i_loop(self.dit_params, c, self.vae_params, self.vae_cfg,
                         jax.random.PRNGKey(int(seed)), ctx, pooled, meta,
                         ts, acp, jnp.float32(self.guidance_scale),
-                        jnp.float32(self.pag_scale), gh, gw,
-                        pred_type=self.sched.prediction_type)
+                        jnp.float32(self.pag_scale or 0.0), gh, gw,
+                        pred_type=self.sched.prediction_type,
+                        use_pag=use_pag)
         return Image.fromarray(np.asarray(img))

@@ -197,6 +197,16 @@ class Hunyuan3DPaintPipeline:
             upload_mesh,
         )
 
+        # pre-unwrapped input: the unwrap below is a no-op, so resolve the
+        # UV-upload gate BEFORE dispatching the diffusion — a per-corner-UV
+        # mesh must degrade to the host path without paying a wasted device
+        # denoise (and doubling HBM pressure with the host path's re-dispatch)
+        if getattr(mesh, "uv", None) is not None:
+            pre = mesh_uv_wrap(mesh)
+            self.render.load_mesh(pre)
+            if upload_mesh(self.render, need_uv=True) is None:
+                return None, pre
+
         # phase 1: geometry-only upload of the RAW mesh for the cond maps
         self.render.load_mesh(mesh)
         dev_geo = upload_mesh(self.render)

@@ -181,3 +181,39 @@ def test_text2image_jax_backend(monkeypatch):
     img = t2i("一只猫", seed=0)
     arr = np.asarray(img)
     assert arr.shape[2] in (3, 4) and arr.shape[0] == 64
+
+
+def test_v11_no_style_meta_config():
+    """v1.1/v1.2 checkpoints drop style + image-meta conditioning
+    (use_style_cond_and_image_meta_size=False): extra conditioning is the
+    pooled text alone, and the weight map round-trips without style keys."""
+    import dataclasses
+
+    from hunyuan3d2_tpu.io.diffusers_maps import (
+        export_hunyuan_dit,
+        map_hunyuan_dit,
+    )
+
+    cfg = dataclasses.replace(hunyuan_dit.TINY, use_style_meta=False)
+    params = hunyuan_dit.init(jax.random.PRNGKey(2), cfg)
+    assert "style_embedder" not in params
+    pooled_in = params["extra_embedder"]["in_layer"]["w"].shape[0]
+    assert pooled_in == cfg.pooled_dim
+    x, t, clip, cm, t5, tm = _inputs(cfg, b=1)
+    ctx, pooled = hunyuan_dit.build_context(params, cfg, clip, cm, t5, tm)
+    out = hunyuan_dit.apply(params, cfg, x, t, ctx, pooled)
+    assert out.shape == (1, 16, 16, cfg.out_channels)
+    sd = export_hunyuan_dit(params, cfg)
+    assert "time_extra_emb.style_embedder.weight" not in sd
+    back = map_hunyuan_dit(sd, cfg, dtype="fp32")
+    b2 = np.asarray(hunyuan_dit.apply(back, cfg, x, t, ctx, pooled))
+    np.testing.assert_allclose(np.asarray(out), b2, atol=2e-6)
+
+
+def test_pag_disable_skips_perturbed_branch():
+    """pag_scale=None compiles without the PAG forward and still runs."""
+    pipe = HunyuanDiTJAXPipeline.init_random(resolution=32,
+                                             num_inference_steps=2)
+    pipe.pag_scale = None
+    img = pipe("x", seed=1)
+    assert np.asarray(img).shape == (32, 32, 3)
