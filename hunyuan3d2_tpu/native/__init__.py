@@ -71,6 +71,10 @@ def get_lib():
                                       f32p, ctypes.c_int64, i32p, ctypes.c_int64,
                                       i64p, i64p]
     lib.hy3d_surface_nets.restype = ctypes.c_int32
+    lib.hy3d_sn_actives.argtypes = [i32p, f32p, ctypes.c_int64,
+                                    ctypes.c_int64, ctypes.c_float, f32p,
+                                    i32p, ctypes.c_int64, i64p]
+    lib.hy3d_sn_actives.restype = ctypes.c_int32
     _lib = lib
     return lib
 
@@ -248,6 +252,29 @@ def surface_nets(grid: np.ndarray, level: float = 0.0):
     if ret != 0:
         raise MemoryError(f"surface_nets capacity exceeded (code {ret})")
     return out_v[: nv.value].copy(), out_f[: nf.value].copy()
+
+
+def sn_from_actives(cells: np.ndarray, vals: np.ndarray, nc: int,
+                    level: float = 0.0):
+    """Surface nets from compacted active cells (sorted by flat id):
+    cells [K,3] int32, vals [K,8] f32 → (verts [K,3] lattice coords,
+    faces [F,3]). Single native pass — the numpy twin materializes ~200 MB
+    of [K,12,3] intermediates, which dominates at this host's first-touch
+    page-fault rate."""
+    lib = get_lib()
+    cells = np.ascontiguousarray(cells, np.int32)
+    vals = np.ascontiguousarray(vals, np.float32)
+    k = len(cells)
+    out_v = np.empty((k, 3), np.float32)
+    faces_cap = 6 * max(k, 1)
+    out_f = np.empty((faces_cap, 3), np.int32)
+    nf = ctypes.c_int64()
+    ret = lib.hy3d_sn_actives(cells.reshape(-1), vals.reshape(-1), k, nc,
+                              level, out_v.reshape(-1), out_f.reshape(-1),
+                              faces_cap, ctypes.byref(nf))
+    if ret != 0:
+        raise MemoryError(f"sn_from_actives capacity exceeded (code {ret})")
+    return out_v, out_f[: nf.value].copy()
 
 
 def simplify(verts: np.ndarray, faces: np.ndarray, target_faces: int):

@@ -1113,4 +1113,118 @@ int32_t hy3d_surface_nets(const float* grid, int64_t R, float level,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Surface nets from COMPACTED ACTIVE CELLS (the on-device extraction path:
+// ShapeVAE.decode_actives → extract_active_cells → here). Mirrors the numpy
+// twin volume/surface.py:_sn_from_actives — one pass, no [K,12,3] float
+// intermediates (the numpy version materializes ~200 MB at K=245k, which
+// costs seconds at this host's ~100 MB/s first-touch page-fault rate).
+//
+// cells: [K,3] int32 cell coords SORTED by flat id x*nc*nc + y*nc + z.
+// vals:  [K,8] float32 corner values (corner order {0,0,0},{1,0,0},{1,1,0},
+//        {0,1,0},{0,0,1},{1,0,1},{1,1,1},{0,1,1}).
+// out_verts: [K,3] (one dual vertex per active cell, lattice coords).
+// Faces match the twin's layout exactly: per direction d∈{x,y,z}, first the
+// [0,1,2] triangle of every selected cell in cell order, then the [0,2,3]
+// triangles. Returns 0, or -1 when faces_cap would overflow.
+// ---------------------------------------------------------------------------
+int32_t hy3d_sn_actives(const int32_t* cells, const float* vals, int64_t K,
+                        int64_t nc, float level, float* out_verts,
+                        int32_t* out_faces, int64_t faces_cap,
+                        int64_t* out_nf) {
+  const int corner_off[8][3] = {{0, 0, 0}, {1, 0, 0}, {1, 1, 0}, {0, 1, 0},
+                                {0, 0, 1}, {1, 0, 1}, {1, 1, 1}, {0, 1, 1}};
+  const int edges[12][2] = {{0, 1}, {1, 2}, {2, 3}, {3, 0}, {4, 5}, {5, 6},
+                            {6, 7}, {7, 4}, {0, 4}, {1, 5}, {2, 6}, {3, 7}};
+  std::vector<int64_t> flatid(K);
+#pragma omp parallel for schedule(static)
+  for (int64_t k = 0; k < K; ++k) {
+    const int32_t* c = cells + 3 * k;
+    flatid[k] = ((int64_t)c[0] * nc + c[1]) * nc + c[2];
+  }
+
+  // vertex pass: mean of cube-edge crossings (same edge order and same
+  // degenerate-denominator rule as the numpy twin)
+#pragma omp parallel for schedule(static)
+  for (int64_t k = 0; k < K; ++k) {
+    const float* v = vals + 8 * k;
+    const int32_t* c = cells + 3 * k;
+    float px = 0.f, py = 0.f, pz = 0.f;
+    int n = 0;
+    for (int e = 0; e < 12; ++e) {
+      const float va = v[edges[e][0]], vb = v[edges[e][1]];
+      if ((va > level) == (vb > level)) continue;
+      float d = vb - va;
+      if (std::fabs(d) < 1e-12f) d = 1e-12f;
+      float t = (level - va) / d;
+      t = std::min(1.f, std::max(0.f, t));
+      const int* ca = corner_off[edges[e][0]];
+      const int* cb = corner_off[edges[e][1]];
+      px += ca[0] + t * (float)(cb[0] - ca[0]);
+      py += ca[1] + t * (float)(cb[1] - ca[1]);
+      pz += ca[2] + t * (float)(cb[2] - ca[2]);
+      ++n;
+    }
+    const float inv = n ? 1.f / (float)n : 0.f;
+    out_verts[3 * k] = c[0] + px * inv;
+    out_verts[3 * k + 1] = c[1] + py * inv;
+    out_verts[3 * k + 2] = c[2] + pz * inv;
+  }
+
+  // face pass: each cell owns its 3 min-corner lattice edges; neighbors by
+  // binary search over the sorted flat ids. Sequential fill = deterministic
+  // twin-identical ordering (two tri blocks per direction).
+  const int end_corner[3] = {1, 3, 4};  // +x, +y, +z sign partners of corner0
+  const int64_t strides[3] = {nc * nc, nc, 1};
+  auto lookup = [&](int64_t id) -> int32_t {
+    int64_t lo = 0, hi = K;
+    while (lo < hi) {
+      const int64_t mid = (lo + hi) >> 1;
+      if (flatid[mid] < id) lo = mid + 1; else hi = mid;
+    }
+    return (lo < K && flatid[lo] == id) ? (int32_t)lo : -1;
+  };
+  int64_t nf = 0;
+  std::vector<int32_t> quads;  // q0,q1,q2,q3 per selected cell of one dir
+  for (int d = 0; d < 3; ++d) {
+    const int u = (d + 1) % 3, w = (d + 2) % 3;
+    const int64_t su = strides[u], sv = strides[w];
+    quads.clear();
+    for (int64_t k = 0; k < K; ++k) {
+      const float* v = vals + 8 * k;
+      const bool occ0 = v[0] > level;
+      if (occ0 == (v[end_corner[d]] > level)) continue;
+      const int32_t* c = cells + 3 * k;
+      if (c[u] <= 0 || c[w] <= 0) continue;
+      const int64_t base = flatid[k];
+      const int32_t q1 = lookup(base - su);
+      const int32_t q2 = lookup(base - su - sv);
+      const int32_t q3 = lookup(base - sv);
+      if (q1 < 0 || q2 < 0 || q3 < 0) continue;
+      if (occ0) {
+        quads.push_back((int32_t)k); quads.push_back(q1);
+        quads.push_back(q2); quads.push_back(q3);
+      } else {  // flipped orientation = reversed quad
+        quads.push_back(q3); quads.push_back(q2);
+        quads.push_back(q1); quads.push_back((int32_t)k);
+      }
+    }
+    const int64_t nq = (int64_t)quads.size() / 4;
+    if (nf + 2 * nq > faces_cap) return -1;
+    for (int64_t i = 0; i < nq; ++i) {  // block A: [0,1,2]
+      out_faces[3 * (nf + i)] = quads[4 * i];
+      out_faces[3 * (nf + i) + 1] = quads[4 * i + 1];
+      out_faces[3 * (nf + i) + 2] = quads[4 * i + 2];
+    }
+    for (int64_t i = 0; i < nq; ++i) {  // block B: [0,2,3]
+      out_faces[3 * (nf + nq + i)] = quads[4 * i];
+      out_faces[3 * (nf + nq + i) + 1] = quads[4 * i + 2];
+      out_faces[3 * (nf + nq + i) + 2] = quads[4 * i + 3];
+    }
+    nf += 2 * nq;
+  }
+  *out_nf = nf;
+  return 0;
+}
+
 }  // extern "C"

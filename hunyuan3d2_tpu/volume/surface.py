@@ -292,6 +292,14 @@ def _sn_from_actives(cells: np.ndarray, vals: np.ndarray, R: int, level: float):
     if len(cells) == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
     nc = R - 1
+    try:
+        # native single pass (identical output; the numpy path below
+        # materializes ~200 MB of [K,12,3] intermediates at K=245k)
+        from hunyuan3d2_tpu import native
+
+        return native.sn_from_actives(cells, vals, nc, level)
+    except Exception:  # pragma: no cover — lib always builds in this image
+        pass
     vals = vals.astype(np.float32)
     cells = cells.astype(np.int64)
     cell_flat = (cells[:, 0] * nc + cells[:, 1]) * nc + cells[:, 2]
