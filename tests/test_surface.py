@@ -136,3 +136,37 @@ def test_registry_and_failure_degrades_to_none():
     out = SurfaceExtractors["mc"]()(empty, mc_level=0.0)[0]
     # empty grid → empty mesh is fine; must not raise
     assert out is None or len(out.mesh_v) == 0
+
+
+def test_native_sn_actives_matches_numpy_twin():
+    """The native single-pass hy3d_sn_actives must reproduce the numpy
+    _sn_from_actives exactly: identical face array (same ordering and
+    orientation), vertices to float32 rounding."""
+    import hunyuan3d2_tpu.volume.surface as surf
+    from hunyuan3d2_tpu import native
+
+    R = 65
+    lin = np.linspace(-1.01, 1.01, R, dtype=np.float32)
+    xx, yy, zz = lin[:, None, None], lin[None, :, None], lin[None, None, :]
+    g = (0.6 + 0.07 * np.sin(5 * xx) * np.sin(5 * yy) * np.sin(5 * zz)
+         - np.sqrt(xx * xx + yy * yy + zz * zz)).astype(np.float32)
+    cells = surf._active_cells(g, 0.0)
+    vals = surf._gather_corner_vals(g, cells)
+    nc = R - 1
+    flat = (cells[:, 0].astype(np.int64) * nc + cells[:, 1]) * nc + cells[:, 2]
+    o = np.argsort(flat)
+    cells, vals = cells[o], vals[o]
+
+    v_nat, f_nat = native.sn_from_actives(cells, vals, nc, 0.0)
+
+    saved = native.sn_from_actives
+    native.sn_from_actives = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("force numpy twin"))
+    try:
+        v_np, f_np = surf._sn_from_actives(cells, vals, R, 0.0)
+    finally:
+        native.sn_from_actives = saved
+
+    np.testing.assert_array_equal(f_nat, f_np)
+    np.testing.assert_allclose(v_nat, v_np, atol=1e-5)
+    assert len(v_nat) == len(cells)
