@@ -10,7 +10,9 @@ Measures the production hot path (BASELINE.md north star: image→textured GLB
              (the production "actives" program used by latents2mesh)
     stage 4  surface extraction (host, native surface nets)        [host]
   TEXTURE (texgen/pipelines.py: 6 views, render 2048, texture 2048, bake_exp 4;
-           paint-turbo LCM 5 steps at 512² views — multiview_utils.py:92)
+           paint-turbo LCM 10 steps at 512² views — the reference turbo's
+           exact schedule, DDIM table[29..2:3] = t 599→59,
+           hunyuanpaint/pipeline.py:598-603)
     stage 5  mesh postprocess (floater/degenerate/face-reduce)     [host]
     stage 6  UV unwrap + cond-map renders                          [host]
     stage 7  LCM-turbo multiview diffusion, full-size 2.5D UNet    [TPU]
@@ -311,7 +313,7 @@ def texture_stage(pipe, out, image):
     gc.collect()
     paint = Hunyuan3DPaintPipeline.init_random(
         jax.random.PRNGKey(1), size="full", view_size=512,
-        render_size=2048, texture_size=2048, num_inference_steps=5)
+        render_size=2048, texture_size=2048, num_inference_steps=10)
     paint.models["multiview_model"].pipeline.set_turbo(True)
     log(f"paint init done at t={time.perf_counter() - T0:.1f}s")
 
@@ -419,7 +421,8 @@ def main():
     texture_sec = tex["postprocess_sec"] + tex["paint_sec"]
     total = record["value"] + texture_sec
     full = {
-        "metric": "image_to_textured_glb_e2e_sec_turbo5step",
+        "metric": "image_to_textured_glb_e2e_sec_turbo",
+        "paint_steps": 10,
         "value": round(total, 4),
         "unit": "s",
         "vs_baseline": round(10.0 / total, 3),

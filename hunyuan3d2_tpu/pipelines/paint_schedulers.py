@@ -113,10 +113,16 @@ class LCMScheduler:
     def make_tables(self, num_inference_steps: int, timesteps=None):
         t = self.num_train_timesteps
         if timesteps is None:
+            # reference turbo rule (hunyuanpaint/pipeline.py:598-603 with
+            # DDIMSolver :139-149): a 50-entry DDIM table (i+1)*20-1, indexed
+            # by torch.range(29, 0, -3) → 10 timesteps [599, 539, ..., 59].
+            # linspace(29, 2, n) reproduces that index set exactly at n=10
+            # and keeps the same [599, 59] noise window for other step counts.
             k = t // self.original_inference_steps
-            lcm_timesteps = np.asarray(range(1, self.original_inference_steps + 1)) * k - 1
-            skip = len(lcm_timesteps) // num_inference_steps
-            timesteps = lcm_timesteps[::-1][::skip][:num_inference_steps]
+            table = (np.arange(1, self.original_inference_steps + 1) * k) - 1
+            index = np.round(np.linspace(29, 2,
+                                         num_inference_steps)).astype(int)
+            timesteps = table[index]
         timesteps = np.asarray(timesteps, np.int64)
         ac = self._alphas_cumprod()
         return timesteps.astype(np.float32), ac.astype(np.float32)
