@@ -361,8 +361,9 @@ def texture_stage(pipe, out, image):
 
             mv = paint.models["multiview_model"].pipeline
             ucfg, vcfg = mv.unet_cfg, mv.vae_cfg
-            n_steps = getattr(
-                paint.models["multiview_model"], "num_inference_steps", 5)
+            # the turbo LCM path caps at the reference's 10-step schedule
+            n_steps = min(getattr(
+                paint.models["multiview_model"], "num_inference_steps", 10), 10)
             S = jax.ShapeDtypeStruct
             b, n_gen, n_ref = 1, 6, 1
             hw = mv.view_size // 8
