@@ -47,4 +47,11 @@ def pytest_configure(config):
 
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# already-hermetic invocations (PYTHONPATH scrubbed, JAX_PLATFORMS=cpu) skip
+# the re-exec above — they must still get the virtual 8-device mesh, or the
+# sharding tests silently skip; set it before anything imports jax
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8").strip()
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
