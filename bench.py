@@ -11,7 +11,7 @@ Measures the production hot path (BASELINE.md north star: image→textured GLB
     stage 4  surface extraction (host, native surface nets)        [host]
   TEXTURE (texgen/pipelines.py: 6 views, render 2048, texture 2048, bake_exp 4;
            paint-turbo LCM 10 steps at 512² views — the reference turbo's
-           exact schedule, DDIM table[29..2:3] = t 599→59,
+           exact schedule, DDIM table[29..2:3] = t 989→98,
            hunyuanpaint/pipeline.py:598-603)
     stage 5  mesh postprocess (floater/degenerate/face-reduce)     [host]
     stage 6  UV unwrap + cond-map renders                          [host]
@@ -43,17 +43,35 @@ divided by measured wall-clock and TPU v5e bf16 peak (197 TFLOP/s).
 
 Prints one JSON record per completed milestone; the LAST line is the
 authoritative one: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Un-zeroable contract (VERDICT r3 #1): the TPU backend is probed in a
+SUBPROCESS with its own timeout and retried with backoff before anything
+heavy imports jax in-process (the r3 failure was a fatal 'axon UNAVAILABLE'
+at t≈0; the r4 builder session also observed the init *hanging* >8 min, so
+an in-process probe alone can deadlock the whole bench). Any exception or a
+driver SIGTERM still prints a last-line JSON record — either the best
+milestone recorded so far or an explicit {"metric": "bench_error", ...} —
+so the driver's `parsed` field can never be null again.
 """
 
 import json
 import os
 import signal
+import subprocess
 import sys
 import time
 
 T0 = time.perf_counter()
 BUDGET = float(os.environ.get("HY3D_BENCH_BUDGET", "2700"))
 PEAK_BF16 = 197e12  # TPU v5e peak bf16 FLOP/s (one chip)
+
+# persistent XLA compile cache (VERDICT r3 #2): keyed by program fingerprint,
+# survives across runs/rounds so a cold driver run skips recompiles
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".xla_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 
 def log(msg):
@@ -62,6 +80,92 @@ def log(msg):
 
 def remaining():
     return BUDGET - (time.perf_counter() - T0)
+
+
+def log_cache_state(tag):
+    """Log persistent-compile-cache population (VERDICT r3 #2: per-program
+    hit/miss visibility; a growth of 0 between tags = all programs hit)."""
+    try:
+        n = len(os.listdir(_CACHE_DIR)) if os.path.isdir(_CACHE_DIR) else 0
+        log(f"compile cache [{tag}]: {n} entries in {_CACHE_DIR}")
+    except OSError as e:
+        log(f"compile cache [{tag}]: unreadable ({e})")
+
+
+_BEST = None  # most complete milestone record printed so far
+
+
+def emit(record, best=True):
+    """Print a milestone JSON record; remember the most complete one so the
+    emergency paths (exception / SIGTERM) can re-print it as the last line."""
+    global _BEST
+    print(json.dumps(record), flush=True)
+    if best:
+        _BEST = record
+
+
+def _emergency_exit(reason):
+    if _BEST is not None:
+        rec = dict(_BEST)
+        rec["note"] = f"emergency flush: {reason}"
+        print(json.dumps(rec), flush=True)
+    else:
+        print(json.dumps({
+            "metric": "bench_error", "value": -1.0, "unit": "s",
+            "vs_baseline": 0.0, "error": reason[:2000],
+        }), flush=True)
+    sys.stdout.flush()
+    os._exit(0)
+
+
+def _install_sigterm_flush():
+    def _on_term(signum, frame):
+        log(f"signal {signum} received — flushing best record")
+        _emergency_exit(f"terminated by signal {signum}")
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
+
+_PROBE_SRC = """
+import time, sys
+t0 = time.time()
+import jax, jax.numpy as jnp
+d = jax.devices()
+x = jnp.ones((128, 128), jnp.bfloat16)
+(x @ x).block_until_ready()
+print(f"probe ok: {d[0].platform} x{len(d)} in {time.time()-t0:.1f}s",
+      flush=True)
+"""
+
+
+def preflight(max_tries=5):
+    """Probe TPU backend init in a subprocess (own timeout) with backoff.
+    Returns True once a probe ran a real device op; False if the backend
+    stayed unavailable within the budget."""
+    backoff = 15.0
+    for i in range(max_tries):
+        probe_timeout = min(420.0, max(60.0, remaining() - 120.0))
+        if remaining() < 90:
+            log("preflight: budget exhausted")
+            return False
+        log(f"preflight try {i + 1}/{max_tries} "
+            f"(timeout {probe_timeout:.0f}s, t={time.perf_counter() - T0:.0f}s)")
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                timeout=probe_timeout, capture_output=True, text=True)
+            if r.returncode == 0:
+                log(f"preflight: {r.stdout.strip()}")
+                return True
+            tail = (r.stderr or "").strip().splitlines()
+            log(f"preflight rc={r.returncode}: "
+                f"{tail[-1] if tail else 'no stderr'}")
+        except subprocess.TimeoutExpired:
+            log("preflight: probe timed out (backend init hang)")
+        time.sleep(min(backoff, max(0.0, remaining() - 60)))
+        backoff *= 2
+    return False
 
 
 class StageTimeout(RuntimeError):
@@ -401,24 +505,102 @@ def texture_stage(pipe, out, image):
         log(f"paint mfu accounting skipped: {e!r}")
 
     return {"postprocess_sec": round(postprocess_sec, 4),
-            "paint_sec": round(paint_sec, 4), **mfu}
+            "paint_sec": round(paint_sec, 4), **mfu}, paint
+
+
+def single_pass_stage(paint, image):
+    """One true single-process, single-mesh pass (VERDICT r3 #3): image →
+    shape → postprocess → paint → GLB with NO fixture substitution. Random
+    weights decode to a noise SDF; the block-sparse decoder caps actives at
+    capacity, so the noise mesh is a cost *upper bound* for a real mesh.
+
+    All programs are warm from the earlier stages (identical shapes). The
+    shape stack is re-materialized on device before t0 (model residency =
+    serving startup, untimed, same as the reference api_server preloading
+    models); the shape→paint parameter swap IS timed (recorded separately as
+    swap_sec) because this chip's HBM quota cannot hold both stacks — on
+    production hardware this is a host↔device transfer of the same order."""
+    import gc
+    import tempfile
+
+    import jax
+
+    from hunyuan3d2_tpu.geometry.postprocess import (
+        DegenerateFaceRemover,
+        FaceReducer,
+        FloaterRemover,
+    )
+    from hunyuan3d2_tpu.pipelines.shapegen import Hunyuan3DDiTFlowMatchingPipeline
+    from hunyuan3d2_tpu.pipelines.texgen import Hunyuan3DPaintPipeline
+
+    # free paint HBM, bring the shape stack up (untimed: serving startup)
+    paint.models["multiview_model"].pipeline.unet_params = None
+    paint.models["multiview_model"].pipeline.vae_params = None
+    gc.collect()
+    pipe = Hunyuan3DDiTFlowMatchingPipeline.init_random(
+        jax.random.PRNGKey(0), size="mini", dino="giant")
+    pipe.enable_flashvdm(True, mc_algo="dmc")
+    log(f"single-pass: shape stack up at t={time.perf_counter() - T0:.1f}s")
+
+    t0 = time.perf_counter()
+    mesh = pipe(image=image, num_inference_steps=5, guidance_scale=5.0,
+                octree_resolution=384, num_chunks=262144, mc_algo="dmc",
+                seed=7)
+    t_shape = time.perf_counter() - t0
+    m = FloaterRemover()(mesh)
+    m = DegenerateFaceRemover()(m)
+    m = FaceReducer()(m, max_facenum=40000)
+    t_post = time.perf_counter() - t0 - t_shape
+
+    t_swap0 = time.perf_counter()
+    pipe.model_params = None
+    pipe.vae.params = None
+    pipe.conditioner.main.params = None
+    gc.collect()
+    paint2 = Hunyuan3DPaintPipeline.init_random(
+        jax.random.PRNGKey(1), size="full", view_size=512,
+        render_size=2048, texture_size=2048, num_inference_steps=10)
+    paint2.models["multiview_model"].pipeline.set_turbo(True)
+    t_swap = time.perf_counter() - t_swap0
+
+    tex_mesh = paint2(m, image)
+    with tempfile.NamedTemporaryFile(suffix=".glb", delete=True) as fh:
+        tex_mesh.export(fh.name)
+    total = time.perf_counter() - t0
+    log(f"single-pass done: {total:.2f}s (shape {t_shape:.2f} post "
+        f"{t_post:.2f} swap {t_swap:.2f} paint+glb "
+        f"{total - t_shape - t_post - t_swap:.2f})")
+    return {
+        "metric": "image_to_textured_glb_single_pass_sec",
+        "value": round(total, 4),
+        "unit": "s",
+        "vs_baseline": round(10.0 / total, 3),
+        "composition": "single-pass",
+        "shape_sec": round(t_shape, 4),
+        "postprocess_sec": round(t_post, 4),
+        "param_swap_sec": round(t_swap, 4),
+        "paint_glb_sec": round(total - t_shape - t_post - t_swap, 4),
+        "mesh_faces": int(len(m.f)),
+        "note": "noise-SDF mesh from random weights (zero-egress); "
+                "actives capped at decoder capacity — cost upper bound",
+    }
 
 
 def main():
+    _install_sigterm_flush()
+    if not preflight():
+        _emergency_exit("TPU backend unavailable after preflight retries")
+
+    log_cache_state("start")
     record, pipe, out, image = shape_stage()
+    log_cache_state("after shape")
     # print the shape milestone NOW — a texture blowup can't zero the round
-    print(json.dumps(record), flush=True)
+    emit(record)
 
     if remaining() < 240:
         log(f"skipping texture stage: {remaining():.0f}s left of budget")
         return
-    try:
-        tex = texture_stage(pipe, out, image)
-    except Exception:
-        import traceback
-
-        traceback.print_exc(file=sys.stderr)
-        return
+    tex, paint = texture_stage(pipe, out, image)
     texture_sec = tex["postprocess_sec"] + tex["paint_sec"]
     total = record["value"] + texture_sec
     full = {
@@ -435,8 +617,34 @@ def main():
            if k not in ("metric", "value", "unit", "vs_baseline")},
         **tex,
     }
-    print(json.dumps(full), flush=True)
+    emit(full)
+
+    # one true single-pass run (VERDICT r3 #3); best-effort — the stage-sum
+    # record above stands regardless
+    if remaining() > 300:
+        try:
+            with stage_guard(remaining() - 30, "single pass"):
+                sp = single_pass_stage(paint, image)
+            emit(sp, best=False)
+            full = dict(full)
+            full["single_pass_sec"] = sp["value"]
+            full["single_pass_param_swap_sec"] = sp["param_swap_sec"]
+            emit(full)  # re-print the headline as the authoritative last line
+        except Exception:
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            emit(full)  # keep the headline the last line
+    else:
+        log(f"skipping single-pass: {remaining():.0f}s left of budget")
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        import traceback
+
+        tb = traceback.format_exc()
+        print(tb, file=sys.stderr, flush=True)
+        _emergency_exit(tb.strip().splitlines()[-1])

@@ -408,15 +408,18 @@ def load_delight_pipeline(cls, ckpt_path: str, dtype="bf16", **kwargs):
         num_heads=ujson.get("attention_head_dim", 8)
         if isinstance(ujson.get("attention_head_dim", 8), int) else None,
     )
-    unet_ckpt = vae_ckpt = None
-    for name in ("diffusion_pytorch_model.safetensors",
-                 "diffusion_pytorch_model.bin"):
-        p = os.path.join(ckpt_path, "unet", name)
-        if unet_ckpt is None and os.path.exists(p):
-            unet_ckpt = p
-        p = os.path.join(ckpt_path, "vae", name)
-        if vae_ckpt is None and os.path.exists(p):
-            vae_ckpt = p
+    def _weights(sub):
+        names = ("diffusion_pytorch_model.safetensors",
+                 "diffusion_pytorch_model.bin")
+        for name in names:
+            p = os.path.join(ckpt_path, sub, name)
+            if os.path.exists(p):
+                return p
+        raise FileNotFoundError(
+            f"no {sub} weights found; searched "
+            + ", ".join(os.path.join(ckpt_path, sub, n) for n in names))
+
+    unet_ckpt, vae_ckpt = _weights("unet"), _weights("vae")
     unet_params = map_unet_core(load_state_dict(unet_ckpt), ucfg, dtype,
                                 prefix="", extras=False)
 
@@ -487,6 +490,23 @@ def load_upscale_pipeline(cls, ckpt_path: str, dtype="bf16", **kwargs):
         scaling_factor=vjson.get("scaling_factor", 0.08333),
     )
     vae_params = map_sd_vae(_weights("vae"), vcfg, dtype)
+
+    # scheduler hyper-parameters from the checkpoint (ADVICE r3: the denoise
+    # DDIM and the low-res conditioning DDPM have *different* beta schedules
+    # in the real x4-upscaler checkpoint)
+    from hunyuan3d2_tpu.pipelines.paint_schedulers import (
+        DDIMScheduler, alphas_cumprod_from_config)
+
+    def _sched_json(sub):
+        p = os.path.join(ckpt_path, sub, "scheduler_config.json")
+        return json.load(open(p)) if os.path.exists(p) else None
+
+    scfg, lrcfg = _sched_json("scheduler"), _sched_json("low_res_scheduler")
+    if scfg is not None:
+        kwargs.setdefault("scheduler", DDIMScheduler.from_config(scfg))
+    if lrcfg is not None:
+        kwargs.setdefault("low_res_alphas_cumprod",
+                          alphas_cumprod_from_config(lrcfg))
     return cls(unet_params, ucfg, vae_params, vcfg,
                empty_prompt_embed(ckpt_path), **kwargs)
 

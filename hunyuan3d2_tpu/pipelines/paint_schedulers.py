@@ -19,6 +19,32 @@ import dataclasses
 import numpy as np
 
 
+def make_betas(num_train_timesteps: int, beta_start: float, beta_end: float,
+               beta_schedule: str = "scaled_linear") -> np.ndarray:
+    """diffusers beta-schedule zoo (the three schedules the reference's
+    checkpoints use)."""
+    if beta_schedule == "scaled_linear":
+        return np.linspace(beta_start ** 0.5, beta_end ** 0.5,
+                           num_train_timesteps) ** 2
+    if beta_schedule == "linear":
+        return np.linspace(beta_start, beta_end, num_train_timesteps)
+    if beta_schedule == "squaredcos_cap_v2":
+        t = np.arange(num_train_timesteps + 1) / num_train_timesteps
+        f = np.cos((t + 0.008) / 1.008 * np.pi / 2) ** 2
+        return np.clip(1 - f[1:] / f[:-1], 0.0, 0.999)
+    raise ValueError(f"unknown beta_schedule {beta_schedule!r}")
+
+
+def alphas_cumprod_from_config(cfg: dict) -> np.ndarray:
+    """scheduler_config.json dict → ᾱ table (for e.g. the x4 upscaler's
+    separate low_res_scheduler, a DDPM with its own betas)."""
+    betas = make_betas(cfg.get("num_train_timesteps", 1000),
+                       cfg.get("beta_start", 0.0001),
+                       cfg.get("beta_end", 0.02),
+                       cfg.get("beta_schedule", "linear"))
+    return np.cumprod(1.0 - betas)
+
+
 def rescale_zero_terminal_snr(betas: np.ndarray) -> np.ndarray:
     """Shift the alpha-bar-sqrt schedule so SNR(T)=0 (Lin et al. 2023)."""
     alphas = 1.0 - betas
@@ -103,7 +129,7 @@ class LCMScheduler:
     beta_start: float = 0.00085
     beta_end: float = 0.012
     prediction_type: str = "v_prediction"
-    original_inference_steps: int = 50
+    ddim_timesteps: int = 30
 
     def _alphas_cumprod(self) -> np.ndarray:
         betas = np.linspace(self.beta_start ** 0.5, self.beta_end ** 0.5,
@@ -114,12 +140,14 @@ class LCMScheduler:
         t = self.num_train_timesteps
         if timesteps is None:
             # reference turbo rule (hunyuanpaint/pipeline.py:598-603 with
-            # DDIMSolver :139-149): a 50-entry DDIM table (i+1)*20-1, indexed
-            # by torch.range(29, 0, -3) → 10 timesteps [599, 539, ..., 59].
-            # linspace(29, 2, n) reproduces that index set exactly at n=10
-            # and keeps the same [599, 59] noise window for other step counts.
-            k = t // self.original_inference_steps
-            table = (np.arange(1, self.original_inference_steps + 1) * k) - 1
+            # DDIMSolver built at :219-223 with ddim_timesteps=30): table
+            # entry i is (i+1)*step_ratio-1 with step_ratio = 1000//30 = 33,
+            # indexed by torch.range(29, 0, -3) → 10 timesteps
+            # [989, 890, 791, 692, 593, 494, 395, 296, 197, 98].
+            # round(linspace(29, 2, n)) reproduces that index set exactly at
+            # n=10 and keeps the same [989, 98] noise window otherwise.
+            k = t // self.ddim_timesteps
+            table = (np.arange(1, self.ddim_timesteps + 1) * k) - 1
             index = np.round(np.linspace(29, 2,
                                          num_inference_steps)).astype(int)
             timesteps = table[index]
@@ -154,13 +182,30 @@ class DDIMScheduler:
     num_train_timesteps: int = 1000
     beta_start: float = 0.00085
     beta_end: float = 0.012
+    beta_schedule: str = "scaled_linear"
     prediction_type: str = "v_prediction"
     timestep_spacing: str = "leading"
     steps_offset: int = 1
 
+    @classmethod
+    def from_config(cls, cfg: dict) -> "DDIMScheduler":
+        """Construct from a diffusers scheduler_config.json dict (subset of
+        keys this implementation models)."""
+        d = cls()
+        return cls(
+            num_train_timesteps=cfg.get("num_train_timesteps",
+                                        d.num_train_timesteps),
+            beta_start=cfg.get("beta_start", d.beta_start),
+            beta_end=cfg.get("beta_end", d.beta_end),
+            beta_schedule=cfg.get("beta_schedule", d.beta_schedule),
+            prediction_type=cfg.get("prediction_type", d.prediction_type),
+            timestep_spacing=cfg.get("timestep_spacing", d.timestep_spacing),
+            steps_offset=cfg.get("steps_offset", d.steps_offset),
+        )
+
     def alphas_cumprod(self) -> np.ndarray:
-        betas = np.linspace(self.beta_start ** 0.5, self.beta_end ** 0.5,
-                            self.num_train_timesteps) ** 2
+        betas = make_betas(self.num_train_timesteps, self.beta_start,
+                           self.beta_end, self.beta_schedule)
         return np.cumprod(1.0 - betas)
 
     def make_tables(self, num_inference_steps: int):

@@ -56,9 +56,12 @@ def ddpm_timesteps(cfg: DDPMConfig, n_steps: int) -> np.ndarray:
 
 
 def ddpm_step(pred: Array, t: Array, t_prev: Array, sample: Array,
-              acp: Array, noise: Array, prediction_type: str) -> Array:
+              acp: Array, noise: Array, prediction_type: str,
+              clip_sample: bool = False) -> Array:
     """One ancestral DDPM step (diffusers DDPMScheduler.step semantics with
-    variance_type='fixed_small'); t_prev < 0 means the final step."""
+    variance_type='fixed_small'); t_prev < 0 means the final step.
+    ``clip_sample`` mirrors the DDPMScheduler config flag — the HunyuanDiT
+    scheduler config leaves it off, so x0 is NOT clipped by default."""
     a_t = acp[t]
     a_prev = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], 1.0)
     beta_t = 1.0 - a_t / a_prev
@@ -69,7 +72,8 @@ def ddpm_step(pred: Array, t: Array, t_prev: Array, sample: Array,
     else:  # epsilon
         eps = pred
         x0 = (sample - sq_1mat * eps) / sq_at
-    x0 = jnp.clip(x0, -10.0, 10.0)
+    if clip_sample:
+        x0 = jnp.clip(x0, -1.0, 1.0)
     # posterior mean coefficients
     c_x0 = jnp.sqrt(a_prev) * beta_t / (1.0 - a_t)
     c_xt = jnp.sqrt(a_t / a_prev) * (1.0 - a_prev) / (1.0 - a_t)

@@ -54,17 +54,21 @@ X4_VAE_TINY = dataclasses.replace(
     sd_vae.TINY, block_out_channels=(32, 32, 32), scaling_factor=0.08333)
 
 
-@functools.partial(jax.jit, static_argnames=("ucfg", "vcfg"))
-def _upscale_loop(unet_params, ucfg, vae_params, vcfg, key, image_m11,
-                  context, timesteps, alphas_cumprod, noise_level,
-                  guidance_scale):
-    """low-res image [1,h,w,3] in [-1,1] → upscaled [1,4h,4w,3] in [-1,1]."""
+@functools.partial(jax.jit, static_argnames=("ucfg", "vcfg", "sched"))
+def _upscale_loop(unet_params, ucfg, vae_params, vcfg, sched, key, image_m11,
+                  context, timesteps, alphas_cumprod, lowres_alphas_cumprod,
+                  noise_level, guidance_scale):
+    """low-res image [1,h,w,3] in [-1,1] → upscaled [1,4h,4w,3] in [-1,1].
+
+    ``sched`` is the checkpoint's DDIMScheduler (frozen dataclass → static);
+    ``lowres_alphas_cumprod`` is the separate low_res_scheduler's ᾱ table
+    (diffusers StableDiffusionUpscalePipeline noises the conditioning image
+    with its own DDPM schedule, not the denoise scheduler's)."""
     key, k1, k2 = jax.random.split(key, 3)
-    sched = DDIMScheduler()
     # DDPM-noise the low-res conditioning image at noise_level
     img = sched.add_noise(image_m11,
                           jax.random.normal(k1, image_m11.shape, jnp.float32),
-                          noise_level, alphas_cumprod)
+                          noise_level, lowres_alphas_cumprod)
     img2 = jnp.concatenate([img, img], axis=0)          # CFG pair
     nl2 = jnp.full((2,), noise_level, jnp.int32)
     ctx2 = jnp.broadcast_to(context[None],
@@ -106,7 +110,9 @@ class UpscalePipeline:
 
     def __init__(self, unet_params, ucfg, vae_params, vcfg, text_embed,
                  uncond_embed=None, num_inference_steps: int = 5,
-                 guidance_scale: float = 9.0, noise_level: int = 20):
+                 guidance_scale: float = 9.0, noise_level: int = 20,
+                 scheduler: DDIMScheduler | None = None,
+                 low_res_alphas_cumprod=None):
         self.unet_params = unet_params
         self.ucfg = ucfg
         self.vae_params = vae_params
@@ -117,6 +123,13 @@ class UpscalePipeline:
         self.num_inference_steps = num_inference_steps
         self.guidance_scale = guidance_scale
         self.noise_level = noise_level
+        self.scheduler = scheduler if scheduler is not None else DDIMScheduler()
+        # default: reuse the denoise scheduler's ᾱ (matches pre-round-4
+        # behavior when no low_res_scheduler config is available)
+        self.low_res_alphas_cumprod = (
+            np.asarray(low_res_alphas_cumprod, np.float32)
+            if low_res_alphas_cumprod is not None
+            else self.scheduler.alphas_cumprod().astype(np.float32))
 
     @classmethod
     def init_random(cls, key=None, size: str = "tiny",
@@ -139,11 +152,12 @@ class UpscalePipeline:
         x = np.asarray(image.convert("RGB"), np.float32) / 255.0 * 2.0 - 1.0
         # empty prompt → text == uncond; CFG still applied (reference default)
         ctx = self.text_embed
-        timesteps, ac = DDIMScheduler().make_tables(self.num_inference_steps)
+        timesteps, ac = self.scheduler.make_tables(self.num_inference_steps)
         out = _upscale_loop(
             self.unet_params, self.ucfg, self.vae_params, self.vcfg,
-            jax.random.PRNGKey(seed), jnp.asarray(x)[None], ctx,
-            jnp.asarray(timesteps), jnp.asarray(ac),
+            self.scheduler, jax.random.PRNGKey(seed), jnp.asarray(x)[None],
+            ctx, jnp.asarray(timesteps), jnp.asarray(ac),
+            jnp.asarray(self.low_res_alphas_cumprod),
             jnp.int32(self.noise_level), jnp.float32(self.guidance_scale))
         out01 = (np.asarray(out[0]) + 1.0) / 2.0
         return Image.fromarray((np.clip(out01, 0, 1) * 255).astype(np.uint8))

@@ -77,6 +77,16 @@ def test_lcm_tables():
     assert len(ac) == 1000
 
 
+def test_lcm_turbo_timesteps_match_reference():
+    """Reference turbo schedule (hunyuanpaint/pipeline.py:219-223, 598-603):
+    DDIMSolver(ddim_timesteps=30) → step_ratio 33, table (i+1)*33-1, indexed
+    by torch.range(29, 0, -3) → exactly these 10 timesteps."""
+    timesteps, _ = LCMScheduler().make_tables(10)
+    np.testing.assert_array_equal(
+        timesteps.astype(np.int64),
+        [989, 890, 791, 692, 593, 494, 395, 296, 197, 98])
+
+
 def test_consistency_sigmas_match_reference_indexing():
     """PCM discrete grid (reference schedulers.py:340-349): indices
     [0, round(i·T/pcm)−1 …] into linspace(0,1,T); inference subset

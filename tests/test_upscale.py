@@ -44,6 +44,42 @@ def test_upscale_pipeline_4x_and_deterministic():
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
 
+def test_scheduler_config_plumbing():
+    """ADVICE r3: scheduler hyper-parameters must come from the checkpoint's
+    scheduler_config.json, and the low-res conditioning noise must use the
+    separate low_res_scheduler's ᾱ table (a DDPM with different betas)."""
+    from hunyuan3d2_tpu.pipelines.paint_schedulers import (
+        alphas_cumprod_from_config,
+    )
+
+    # the real x4-upscaler DDIM config differs from our defaults
+    cfg = {"num_train_timesteps": 1000, "beta_start": 0.0001,
+           "beta_end": 0.02, "beta_schedule": "linear",
+           "prediction_type": "v_prediction",
+           "timestep_spacing": "trailing", "steps_offset": 1}
+    sched = DDIMScheduler.from_config(cfg)
+    assert sched.beta_schedule == "linear" and sched.beta_end == 0.02
+    assert not np.allclose(sched.alphas_cumprod(),
+                           DDIMScheduler().alphas_cumprod())
+    lr_ac = alphas_cumprod_from_config(
+        {"beta_schedule": "squaredcos_cap_v2"})
+    assert lr_ac.shape == (1000,) and np.all(np.diff(lr_ac) < 0)
+    # the pipeline threads both through (low-res table ≠ denoise table)
+    pipe = UpscalePipeline.init_random(size="tiny", num_inference_steps=2)
+    pipe2 = UpscalePipeline(
+        pipe.unet_params, pipe.ucfg, pipe.vae_params, pipe.vcfg,
+        pipe.text_embed, scheduler=sched, low_res_alphas_cumprod=lr_ac,
+        num_inference_steps=2)
+    assert np.allclose(pipe2.low_res_alphas_cumprod, lr_ac)
+    img = Image.fromarray(
+        np.random.RandomState(1).randint(0, 255, (16, 16, 3), np.uint8))
+    out_default = pipe(img, seed=3)
+    out_cfg = pipe2(img, seed=3)
+    assert out_cfg.size == (64, 64)
+    # different schedules must change the trajectory
+    assert not np.array_equal(np.asarray(out_default), np.asarray(out_cfg))
+
+
 def test_image_super_net_fallback_unchanged():
     from hunyuan3d2_tpu.utils.imagesuper import Image_Super_Net
 
