@@ -263,27 +263,50 @@ def shape_stage():
     # give a noise SDF with pathological active-cell counts)
     import functools
 
-    from hunyuan3d2_tpu.models.shapevae import active_capacity
-    from hunyuan3d2_tpu.volume.decoders import extract_active_cells
+    import numpy as np
+
+    from hunyuan3d2_tpu.models.shapevae import active_capacity, face_capacity
+    from hunyuan3d2_tpu.volume.decoders import (
+        extract_active_cells,
+        surface_nets_device,
+    )
+    from hunyuan3d2_tpu.volume.surface import Latent2MeshOutput
 
     sphere_dev = build_sphere_device(octree)
     log(f"sphere fixture built at t={time.perf_counter() - T0:.1f}s")
     cap = active_capacity(octree)
+    fcap = face_capacity(octree)
     extract = jax.jit(functools.partial(extract_active_cells,
                                         level=0.0, capacity=cap))
+    # the production path (latents2mesh 'mesh' mode): actives → on-device
+    # surface nets; host only slices (VERDICT r3 #4)
+    sn_dev = jax.jit(functools.partial(surface_nets_device, R=octree + 1,
+                                       level=0.0, box_v=1.01,
+                                       face_capacity=fcap))
     extractor = SurfaceNetsExtractor()
 
     def run_surface(verbose=False):
         t0 = time.perf_counter()
         cell_flat, vals, count = extract(sphere_dev)
-        jax.block_until_ready((cell_flat, vals, count))
+        verts, tris, nq = sn_dev(cell_flat, vals)
+        jax.block_until_ready((verts, tris, nq, count))
         t1 = time.perf_counter()
-        n = int(count)
+        n, nq_i = int(count), int(nq)
+        if n > cap or nq_i > fcap:  # overflow → host assembly fallback
+            r = extractor.from_actives(cell_flat, vals, n, octree + 1,
+                                       0.0, 1.01)
+            if verbose:
+                log(f"  surface sub (host fallback): n={n} nq={nq_i}")
+            return r
         t2 = time.perf_counter()
-        r = extractor.from_actives(cell_flat, vals, n, octree + 1, 0.0, 1.01)
+        v_host = np.asarray(verts[:n], np.float32)
+        f_host = np.asarray(tris[:2 * nq_i], np.int32)
+        r = Latent2MeshOutput(v_host, f_host)
         if verbose:
-            log(f"  surface sub: extract {t1 - t0:.2f}s count-fetch "
-                f"{t2 - t1:.2f}s from_actives {time.perf_counter() - t2:.2f}s")
+            log(f"  surface sub: device emit {t1 - t0:.2f}s scalar-fetch "
+                f"{t2 - t1:.2f}s slice+transfer "
+                f"{time.perf_counter() - t2:.2f}s "
+                f"({n} verts, {2 * nq_i} tris)")
         return r
 
     # warmup (compiles; persistent cache makes re-runs cheap). Host allocator

@@ -189,6 +189,22 @@ def decode_queries(params, cfg: ShapeVAEConfig, queries: Array, kv) -> Array:
 
 
 import functools
+import os
+
+
+def _fused_geo_enabled(cfg: ShapeVAEConfig) -> bool:
+    """Fused Pallas geo-decoder gate: TPU backend, VMEM-fitting KV, lane-tile
+    aligned widths (kill switch HY3D_FUSED_GEO=0; force-on for interpret
+    tests with =force)."""
+    flag = os.environ.get("HY3D_FUSED_GEO", "1")
+    if flag == "0":
+        return False
+    from hunyuan3d2_tpu.ops.attention import is_tpu_backend
+
+    shapes_ok = (cfg.num_latents <= 1024 and cfg.width % 128 == 0
+                 and (cfg.geo_decoder_mlp_expand_ratio * cfg.width) % 512 == 0
+                 and cfg.head_dim in (64, 128) and cfg.out_channels == 1)
+    return shapes_ok and (flag == "force" or is_tpu_backend())
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -243,10 +259,18 @@ def _grid_decode_jit(params, cfg, kv, decoder_kind: str, octree_resolution: int,
         # pruned bf16 47.8 s (pathological take_along_axis gathers),
         # dense bf16 1.5 s (logits corr 0.99999 vs fp32). Dense attention is
         # what pruning approximates, so this is also the more accurate path.
+        # On TPU the whole block runs as ONE fused Pallas kernel (KV +
+        # weights VMEM-resident, activations never touch HBM —
+        # ops/geo_decoder_pallas.py); HY3D_FUSED_GEO=0 falls back to XLA.
         kv16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), kv)
+        if _fused_geo_enabled(cfg):
+            from hunyuan3d2_tpu.ops.geo_decoder_pallas import fused_geo_decode
 
-        def decode_fn(pts):
-            return decode_queries(params, cfg, pts, kv16).astype(jnp.float32)
+            def decode_fn(pts):
+                return fused_geo_decode(params, cfg, pts, kv16)
+        else:
+            def decode_fn(pts):
+                return decode_queries(params, cfg, pts, kv16).astype(jnp.float32)
     else:
         decode_fn = lambda pts: decode_queries(params, cfg, pts, kv)
     if decoder_kind == "vanilla":
@@ -262,6 +286,19 @@ def _grid_decode_jit(params, cfg, kv, decoder_kind: str, octree_resolution: int,
                    num_chunks=num_chunks, box_v=box_v, mc_level=mc_level)
         capacity = active_capacity(octree_resolution)
         return decoders.extract_active_cells(grid, mc_level, capacity)
+    if sparse_output == "mesh":
+        # fully on-device surface nets (VERDICT r3 #4): decode → actives →
+        # vertex/triangle emission in ONE compiled program; the host only
+        # slices (count, n_tris) rows off the fixed-capacity buffers.
+        grid = dec(decode_fn, batch_size=1, octree_resolution=octree_resolution,
+                   num_chunks=num_chunks, box_v=box_v, mc_level=mc_level)
+        capacity = active_capacity(octree_resolution)
+        cell_flat, vals, count = decoders.extract_active_cells(
+            grid, mc_level, capacity)
+        fcap = face_capacity(octree_resolution)
+        verts, tris, nq = decoders.surface_nets_device(
+            cell_flat, vals, octree_resolution + 1, mc_level, box_v, fcap)
+        return verts, tris, nq, count
     if sparse_output and decoder_kind != "vanilla":
         return dec.decode_sparse(decode_fn, batch_size=1,
                                  octree_resolution=octree_resolution,
@@ -275,6 +312,12 @@ def active_capacity(octree_resolution: int) -> int:
     """Static budget for compacted active cells: surfaces occupy O(R²) cells;
     6·R² is ~4× a sphere's footprint at any resolution."""
     return max(1 << 18, 6 * (octree_resolution + 1) ** 2)
+
+
+def face_capacity(octree_resolution: int) -> int:
+    """Static quad budget for the on-device surface-nets emission: ~1 quad
+    per active cell empirically; 1.5× the cell budget is generous."""
+    return (3 * active_capacity(octree_resolution)) // 2
 
 
 def decode_queries_pruned(params, cfg: ShapeVAEConfig, queries: Array, kv,
@@ -436,11 +479,33 @@ class ShapeVAE:
                 and latents.shape[0] == 1
                 and not isinstance(self.volume_decoder,
                                    (type(None), decoders.VanillaVolumeDecoder))):
+            from hunyuan3d2_tpu.volume.surface import SurfaceNetsExtractor
+
             dec = self.volume_decoder
             kind = "flashvdm" if isinstance(dec, decoders.FlashVDMVolumeDecoding) \
                 else "hierarchical"
             hidden = _decode_latents_jit(self.params, self.cfg, latents)
             kv = _compute_kv_jit(self.params, self.cfg, hidden)
+            # fastest path: decode → actives → surface-nets mesh, all ONE
+            # device program; host slices two buffers (VERDICT r3 #4)
+            if (isinstance(self.surface_extractor, SurfaceNetsExtractor)
+                    and os.environ.get("HY3D_DEVICE_SURFACE", "1") == "1"):
+                import numpy as np
+
+                verts, tris, nq, count = _grid_decode_jit(
+                    self.params, self.cfg, kv, kind, octree_resolution,
+                    num_chunks, box_v, mc_level, dec.block, dec.capacity_frac,
+                    dec.coarse_factor, "mesh",
+                    getattr(dec, "topk_mode", "mean"))
+                nq, count = int(nq), int(count)
+                if (count <= verts.shape[0]
+                        and nq <= face_capacity(octree_resolution)):
+                    from hunyuan3d2_tpu.volume.surface import Latent2MeshOutput
+
+                    return [Latent2MeshOutput(
+                        np.asarray(verts[:count], np.float32),
+                        np.asarray(tris[:2 * nq], np.int32))]
+                # overflow → fall through to the host-assembled path
             cell_flat, vals, count = _grid_decode_jit(
                 self.params, self.cfg, kv, kind, octree_resolution, num_chunks,
                 box_v, mc_level, dec.block, dec.capacity_frac,

@@ -37,10 +37,22 @@ def sdpa(q: Array, k: Array, v: Array, scale: float | None = None,
 
 
 @functools.lru_cache()
+def is_tpu_backend() -> bool:
+    """True when the default JAX backend is a TPU (incl. PJRT plugins whose
+    platform string differs but whose devices report 'tpu')."""
+    if jax.default_backend() == "tpu":
+        return True
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+@functools.lru_cache()
 def _use_flash() -> bool:
     if os.environ.get("HY3D_TPU_DISABLE_FLASH", "0") == "1":
         return False
-    return jax.default_backend() == "tpu"
+    return is_tpu_backend()
 
 
 def attention(q: Array, k: Array, v: Array, scale: float | None = None,

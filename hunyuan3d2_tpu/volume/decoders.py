@@ -284,6 +284,107 @@ def extract_active_cells(grid: Array, level: float, capacity: int):
     return cell_flat, vals, count
 
 
+def compact_rows(valid: Array, rows: Array, capacity: int, fill):
+    """Stable fixed-capacity compaction: rows[i] for valid[i], in order,
+    into a [capacity, ...] buffer (same cumsum-scatter as
+    extract_active_cells). Returns (buf, count)."""
+    count = jnp.sum(valid.astype(jnp.int32))
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    dest = jnp.where(valid & (pos < capacity), pos, capacity)
+    buf = jnp.full((capacity + 1,) + rows.shape[1:], fill, rows.dtype)
+    return buf.at[dest].set(rows, mode="drop")[:capacity], count
+
+
+def surface_nets_device(cell_flat: Array, vals: Array, R: int, level: float,
+                        box_v: float, face_capacity: int):
+    """Surface nets ON DEVICE from compacted active cells (VERDICT r3 #4:
+    the host previously rebuilt the mesh from (cells, corner vals) — now the
+    device emits final vertices AND triangles; the host only slices).
+
+    cell_flat: [cap] int32 ascending flat cell ids (-1 padding);
+    vals: [cap, 8] corner values (f16), corner order = decoders._CORNERS.
+    Returns (verts [cap, 3] f32 in bbox coords, tris [2·face_capacity, 3]
+    i32 vertex indices = positions in the compacted actives, n_tris).
+
+    Same geometry as volume/surface._sn_from_actives: one vertex per active
+    cell (mean of cube-edge crossings), a quad per sign-changing min-corner
+    lattice edge, wound so normals point outward (occupancy: inside > level).
+    """
+    nc = R - 1
+    cap = cell_flat.shape[0]
+    v = vals.astype(jnp.float32)                               # [cap, 8]
+    pad = cell_flat < 0
+    cf = jnp.maximum(cell_flat, 0).astype(jnp.int32)
+    cx = cf // (nc * nc)
+    cy = (cf // nc) % nc
+    cz = cf % nc
+    cells = jnp.stack([cx, cy, cz], axis=1)                    # [cap, 3]
+
+    corners = jnp.asarray(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+         [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], jnp.int32)
+    cube_edges = jnp.asarray([[0, 1], [1, 2], [2, 3], [3, 0],
+                              [4, 5], [5, 6], [6, 7], [7, 4],
+                              [0, 4], [1, 5], [2, 6], [3, 7]], jnp.int32)
+    va = v[:, cube_edges[:, 0]]
+    vb = v[:, cube_edges[:, 1]]                                # [cap, 12]
+    cross = (va > level) != (vb > level)
+    denom = jnp.where(jnp.abs(vb - va) < 1e-12, 1e-12, vb - va)
+    t = jnp.clip((level - va) / denom, 0.0, 1.0)               # [cap, 12]
+    pa = corners[cube_edges[:, 0]].astype(jnp.float32)         # [12, 3]
+    pb = corners[cube_edges[:, 1]].astype(jnp.float32)
+    pts = pa[None] + t[..., None] * (pb - pa)[None]            # [cap, 12, 3]
+    w = cross.astype(jnp.float32)
+    local = (pts * w[..., None]).sum(1) / jnp.maximum(
+        w.sum(1, keepdims=True), 1.0)
+    verts = (cells.astype(jnp.float32) + local)                # lattice coords
+    verts = verts / (R - 1.0) * (2.0 * box_v) - box_v          # bbox coords
+
+    # faces: each active cell owns its 3 min-corner lattice edges
+    # (+x: corner 0→1, +y: 0→3, +z: 0→4); neighbors via searchsorted over
+    # the ascending compacted ids (padding is -1 < all real ids, so real ids
+    # stay sorted after it... they don't — padding sits at the END with -1).
+    # Use a +inf-style key for padding to keep the array ascending.
+    BIG = jnp.int32(2147483647)
+    sorted_ids = jnp.where(pad, BIG, cf)                       # ascending
+    strides = jnp.asarray([nc * nc, nc, 1], jnp.int32)
+    occ0 = v[:, 0] > level
+    end_corner = jnp.asarray([1, 3, 4], jnp.int32)
+
+    def lookup(ids):
+        pos = jnp.searchsorted(sorted_ids, ids)
+        pos = jnp.minimum(pos, cap - 1)
+        ok = sorted_ids[pos] == ids
+        return jnp.where(ok, pos, -1).astype(jnp.int32)
+
+    quads, valids = [], []
+    for d in range(3):
+        u, vv = (d + 1) % 3, (d + 2) % 3
+        change = occ0 != (v[:, end_corner[d]] > level)
+        interior = (cells[:, u] > 0) & (cells[:, vv] > 0)
+        su, sv = strides[u], strides[vv]
+        n1 = lookup(cf - su)
+        n2 = lookup(cf - su - sv)
+        n3 = lookup(cf - sv)
+        me = jnp.arange(cap, dtype=jnp.int32)
+        q = jnp.stack([me, n1, n2, n3], axis=1)                # [cap, 4]
+        # winding: flip when the low corner is outside
+        qr = q[:, ::-1]
+        q = jnp.where(occ0[:, None], q, qr)
+        ok = (change & interior & ~pad
+              & (n1 >= 0) & (n2 >= 0) & (n3 >= 0))
+        quads.append(q)
+        valids.append(ok)
+    quads = jnp.concatenate(quads, axis=0)                     # [3·cap, 4]
+    valid = jnp.concatenate(valids, axis=0)
+    qbuf, nq = compact_rows(valid, quads, face_capacity, -1)
+    # interleave the two triangles of each quad so the first 2·nq rows are
+    # exactly the valid ones (quads are compacted to the front)
+    tris = jnp.stack([qbuf[:, (0, 1, 2)], qbuf[:, (0, 2, 3)]],
+                     axis=1).reshape(2 * face_capacity, 3)
+    return verts, tris, nq
+
+
 def assemble_sparse_grid(coarse16, blk_idx, fine16, octree_resolution: int,
                          block: int, coarse_factor: int,
                          background: str = "nearest"):

@@ -170,3 +170,47 @@ def test_native_sn_actives_matches_numpy_twin():
     np.testing.assert_array_equal(f_nat, f_np)
     np.testing.assert_allclose(v_nat, v_np, atol=1e-5)
     assert len(v_nat) == len(cells)
+
+
+def test_device_surface_nets_matches_host():
+    """On-device surface-nets emission (decoders.surface_nets_device) must
+    reproduce the host path (_sn_from_actives): same vertices (per active
+    cell, same order) and the same triangle set."""
+    import jax.numpy as jnp
+
+    from hunyuan3d2_tpu.volume.decoders import (
+        extract_active_cells,
+        surface_nets_device,
+    )
+    from hunyuan3d2_tpu.volume.surface import SurfaceNetsExtractor
+
+    grid = sphere_grid(res=48)
+    R = grid.shape[1]
+    cell_flat, vals, count = extract_active_cells(
+        jnp.asarray(grid), 0.0, capacity=40000)
+    count = int(count)
+    assert count <= 40000
+    fcap = 60000
+    verts, tris, nq = surface_nets_device(cell_flat, vals, R, 0.0, 1.01, fcap)
+    nq = int(nq)
+    v_dev = np.asarray(verts[:count], np.float32)
+    f_dev = np.asarray(tris[:2 * nq], np.int32)
+
+    host = SurfaceNetsExtractor().from_actives(
+        cell_flat, vals, count, R, 0.0, 1.01)
+    assert len(v_dev) == len(host.mesh_v)
+    np.testing.assert_allclose(v_dev, host.mesh_v, atol=2e-3)
+    assert len(f_dev) == len(host.mesh_f)
+    # identical triangle sets (allow rotation within a triangle)
+    def canon(f):
+        f = np.asarray(f, np.int64)
+        roll = np.argmin(f, axis=1)
+        out = np.stack([f[np.arange(len(f)), (roll + k) % 3]
+                        for k in range(3)], axis=1)
+        return set(map(tuple, out))
+
+    assert canon(f_dev) == canon(host.mesh_f)
+    # and it's a sane sphere mesh
+    from hunyuan3d2_tpu.volume.surface import Latent2MeshOutput
+
+    _mesh_checks(Latent2MeshOutput(v_dev, f_dev), 0.6)
