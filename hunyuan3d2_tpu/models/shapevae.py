@@ -328,7 +328,9 @@ def decode_queries_pruned(params, cfg: ShapeVAEConfig, queries: Array, kv,
     (attention_processors.py):
 
     * ``mode='mean'`` — FlashVDMCrossAttentionProcessor (:35-82): score each
-      key with the group's mean query (q̄·kᵀ), keep the per-head top-k.
+      key with the mean of the group's ::50-subsampled queries (q̄·kᵀ — the
+      reference's sim(q[::50],k).mean(-2), identical by linearity), keep the
+      per-head top-k.
     * ``mode='merge'`` — FlashVDMTopMCrossAttentionProcessor (:84-96): score
       with subsampled queries (::30), softmax over keys (unscaled), mean over
       heads, union over the subsampled queries; a key is "activated" when its
@@ -369,8 +371,12 @@ def decode_queries_pruned(params, cfg: ShapeVAEConfig, queries: Array, kv,
         valid = scores > 1e-6                                    # [B, ng, k]
         idx = jnp.broadcast_to(idx[:, :, None], (b, ng, heads, k_top))
     else:
-        # group representative: mean query (reference 'mean' scoring)
-        qbar = qg.mean(axis=2)                                   # [B, ng, H, D]
+        # group representative: mean of the ::50-SUBSAMPLED queries — the
+        # reference scores sim(q[::50], k).mean(-2) (attention_processors.py
+        # :73-75); mean-of-sims == sim-of-mean by linearity, so this mean
+        # query reproduces the reference key selection exactly when the
+        # group equals the reference chunk (tests/test_reference_parity.py)
+        qbar = qg[:, :, ::50].mean(axis=2)                       # [B, ng, H, D]
         scores = jnp.einsum("bghd,bhld->bghl", qbar, k,
                             preferred_element_type=jnp.float32)  # [B, ng, H, L]
         _, idx = jax.lax.top_k(scores, k_top)                    # [B, ng, H, k]

@@ -43,10 +43,25 @@ def _register_stub_package(fullname: str, path: str) -> None:
     sys.modules[fullname] = mod
 
 
+def _ensure_todos_stub() -> None:
+    """The delldu fork laces modules with ``import todos`` (a debug-print
+    helper package not present in this image). Register an inert stand-in so
+    those reference modules can execute."""
+    if "todos" in sys.modules:
+        return
+    todos = types.ModuleType("todos")
+    debug = types.ModuleType("todos.debug")
+    debug.output_var = lambda *a, **k: None
+    todos.debug = debug
+    sys.modules["todos"] = todos
+    sys.modules["todos.debug"] = debug
+
+
 @functools.lru_cache(maxsize=None)
 def load_ref(dotted: str):
     """Import ``dotted`` (e.g. 'hy3dgen.shapegen.utils') from /root/reference
     with stubbed ancestor packages. Results are cached per process."""
+    _ensure_todos_stub()
     parts = dotted.split(".")
     for i in range(1, len(parts)):
         pkg = ".".join(parts[:i])
