@@ -603,7 +603,7 @@ def single_pass_stage(paint, image):
         "postprocess_sec": round(t_post, 4),
         "param_swap_sec": round(t_swap, 4),
         "paint_glb_sec": round(total - t_shape - t_post - t_swap, 4),
-        "mesh_faces": int(len(m.f)),
+        "mesh_faces": int(len(m.faces)),
         "note": "noise-SDF mesh from random weights (zero-egress); "
                 "actives capped at decoder capacity — cost upper bound",
     }

@@ -42,18 +42,40 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
 
 
 def load_torch_ckpt(path: str) -> Dict[str, np.ndarray]:
+    """Normalize the torch .ckpt zoo to a flat 'top.rest' dict:
+
+    * pipeline single-file ckpt — NESTED {model: sd, vae: sd, conditioner:
+      sd} (reference pipelines.py:168-177 loads ckpt['model'] etc.); each
+      sub-dict may carry DeepSpeed '_forward_module.' wrappers;
+    * flat multi-model ckpt (model./vae./... prefixes like the safetensors
+      layout): keep prefixes, strip only the DeepSpeed wrapper;
+    * standalone submodel ckpt (e.g. a DeepSpeed-trained DiT): strip
+      '_forward_module.' and the 'model.' module wrapper
+      (parity: hunyuan3ddit.py:361-377).
+    """
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict) and "state_dict" in ckpt:
         ckpt = ckpt["state_dict"]
-    # DeepSpeed remap (parity: hunyuan3ddit.py:361-377)
+
+    def to_np(v):
+        return v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
+
+    if all(isinstance(v, dict) for v in ckpt.values()):
+        out = {}
+        for top, sub in ckpt.items():
+            for k, v in sub.items():
+                out[f"{top}.{k.replace('_forward_module.', '')}"] = to_np(v)
+        return out
+    tops = {k.replace("_forward_module.", "").split(".", 1)[0] for k in ckpt}
+    multi = {"model", "vae"} <= tops
     out = {}
     for k, v in ckpt.items():
         k = k.replace("_forward_module.", "")
-        if k.startswith("model."):
+        if not multi and k.startswith("model."):
             k = k[len("model."):]
-        out[k] = v.float().numpy()
+        out[k] = to_np(v)
     return out
 
 
