@@ -78,43 +78,89 @@ def stage_specs(staged):
     return jax.tree_util.tree_map_with_path(spec, staged)
 
 
+def stage_params(params, cfg: dit_lib.DiTConfig, mesh: Mesh):
+    """Split the block stacks over 'pp' and place every leaf on the mesh —
+    do this ONCE per model, then reuse across steps (ADVICE r3: re-staging
+    per call re-transfers the full parameter pytree)."""
+    staged = split_stages(params, cfg, mesh.shape["pp"])
+    pspec = stage_specs(staged)
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), staged, pspec)
+
+
+class PipelinedDiT:
+    """Reusable pipeline-parallel DiT: parameters staged/sharded once at
+    construction, the shard_map program built once and jit-cached by input
+    shapes — safe to call inside a denoise loop (one compile for the whole
+    run, no per-step parameter transfer)."""
+
+    def __init__(self, params, cfg: dit_lib.DiTConfig, mesh: Mesh,
+                 n_micro: int = 4):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.n_micro = n_micro
+        self.staged = stage_params(params, cfg, mesh)
+        self._pspec = stage_specs(self.staged)
+        self._run = _pp_program(cfg, mesh, n_micro,
+                                _hashable_spec(self._pspec))
+
+    def __call__(self, x: Array, t: Array, cond: Array,
+                 guidance=None) -> Array:
+        n_micro = self.n_micro
+        b = x.shape[0]
+        assert b % n_micro == 0, \
+            f"batch {b} must divide into {n_micro} microbatches"
+        cond = cond.astype(x.dtype)
+        mb = b // n_micro
+        xm = x.reshape((n_micro, mb) + x.shape[1:])
+        tm = t.reshape((n_micro, mb))
+        cm = cond.reshape((n_micro, mb) + cond.shape[1:])
+        if guidance is not None:
+            gm = jnp.asarray(guidance).reshape(n_micro, mb)
+        else:
+            gm = jnp.zeros((n_micro, mb), jnp.float32)
+        return self._run(self.staged, xm, tm, cm, gm)
+
+
 def pp_apply(params, cfg: dit_lib.DiTConfig, mesh: Mesh, x: Array, t: Array,
              cond: Array, n_micro: int = 4, guidance=None) -> Array:
     """Pipeline-parallel ``dit.apply``: identical math, blocks staged over
     the mesh's 'pp' axis, the batch split into ``n_micro`` microbatches.
 
     x [B, L, C] · t [B] · cond [B, Lc, D]; n_micro must divide B.
+    One-shot convenience wrapper — the underlying program is cached on
+    (cfg, mesh, n_micro) so repeated calls don't retrace, but parameters are
+    re-placed each call; loops should hold a :class:`PipelinedDiT`.
     """
+    return PipelinedDiT(params, cfg, mesh, n_micro)(x, t, cond, guidance)
+
+
+def _hashable_spec(pspec) -> tuple:
+    """Flatten a PartitionSpec pytree into a hashable cache key."""
+    leaves, treedef = jax.tree_util.tree_flatten(pspec)
+    return (tuple(leaves), treedef)
+
+
+@functools.lru_cache(maxsize=16)
+def _pp_program(cfg: dit_lib.DiTConfig, mesh: Mesh, n_micro: int,
+                spec_key: tuple):
+    """Build (once per (cfg, mesh, n_micro)) the jitted shard_map GPipe
+    program; jit further caches per input shapes."""
     pp = mesh.shape["pp"]
-    b = x.shape[0]
-    assert b % n_micro == 0, f"batch {b} must divide into {n_micro} microbatches"
-    staged = split_stages(params, cfg, pp)
-    pspec = stage_specs(staged)
-    staged = jax.tree.map(
-        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), staged, pspec)
-
-    cond = cond.astype(x.dtype)
-    mb = b // n_micro
-    xm = x.reshape((n_micro, mb) + x.shape[1:])
-    tm = t.reshape((n_micro, mb))
-    cm = cond.reshape((n_micro, mb) + cond.shape[1:])
-    if guidance is not None:
-        gm = jnp.asarray(guidance).reshape(n_micro, mb)
-    else:
-        gm = jnp.zeros((n_micro, mb), jnp.float32)
-
     n_ticks = n_micro + pp - 1
     perm = [(i, (i + 1) % pp) for i in range(pp)]
+    spec_leaves, spec_treedef = spec_key
+    pspec = jax.tree_util.tree_unflatten(spec_treedef, list(spec_leaves))
 
-    @functools.partial(
-        jax.jit,
-        static_argnames=())
+    @jax.jit
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(pspec, P(), P(), P(), P()),
         out_specs=P(),
         check_vma=False)
     def run(pstaged, xm, tm, cm, gm):
+        mb = xm.shape[1]
+        b = xm.shape[0] * mb
         stage = jax.lax.axis_index("pp")
         # only the block stacks carry the stage axis (local leading dim 1);
         # embeddings/head params arrive replicated and full
@@ -222,4 +268,4 @@ def pp_apply(params, cfg: dit_lib.DiTConfig, mesh: Mesh, x: Array, t: Array,
         out = jax.vmap(head)(latent, jnp.arange(n_micro))
         return out.reshape((b,) + out.shape[2:])
 
-    return run(staged, xm, tm, cm, gm)
+    return run
