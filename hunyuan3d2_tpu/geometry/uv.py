@@ -393,6 +393,45 @@ def _merge_charts(fn: np.ndarray, areas: np.ndarray, f: np.ndarray,
     return out
 
 
+def _absorb_small_charts(f: np.ndarray, chart: np.ndarray, nbr: np.ndarray,
+                         min_faces: int = 12) -> np.ndarray:
+    """Sliver-chart cleanup (VERDICT r3 #8): cone-limited growing fragments
+    thin features (plate rims, bevels) into dozens of 1-2-face charts whose
+    boundaries dominate the seam length. Any chart under ``min_faces`` is
+    absorbed into the adjacent chart sharing the most edges, normals
+    notwithstanding — the parameterization stage's injectivity fixpoint
+    re-splits a merge only if it actually overlaps, so this trades a
+    bounded distortion increase for a large seam reduction (xatlas makes
+    the same trade with its minimum chart area)."""
+    chart = chart.copy()
+    for _ in range(8):  # fixpoint: absorbing can re-expose small charts
+        sizes = np.bincount(chart)
+        small = np.nonzero(sizes < min_faces)[0]
+        if len(small) == 0:
+            break
+        small_set = set(int(s) for s in small)
+        moved = False
+        for c in small:
+            sel = np.nonzero(chart == c)[0]
+            if len(sel) == 0:
+                continue
+            votes = {}
+            for i in sel:
+                for nb in nbr[i]:
+                    if nb >= 0 and chart[nb] != c:
+                        votes[int(chart[nb])] = votes.get(int(chart[nb]), 0) + 1
+            if not votes:
+                continue  # isolated component: keep as its own chart
+            # prefer big neighbors; among them, the longest shared boundary
+            best = max(votes, key=lambda d: (d not in small_set, votes[d]))
+            chart[sel] = best
+            moved = True
+        if not moved:
+            break
+    _, chart = np.unique(chart, return_inverse=True)
+    return chart
+
+
 def _lscm(pts: np.ndarray, tris: np.ndarray):
     """Free-boundary least-squares conformal map (Lévy et al. 2002, the
     parameterization xatlas uses per chart). pts: [n,3], tris: [T,3] local
@@ -597,14 +636,29 @@ def _flip_fraction(uv: np.ndarray, tris: np.ndarray) -> float:
     return min(pos, neg) / tot
 
 
+def _coalesce_split(f_sel: np.ndarray, sub: np.ndarray, sel: np.ndarray,
+                    nbr: np.ndarray, min_faces: int = 12) -> np.ndarray:
+    """Absorb tiny pieces of an in-chart split into their larger siblings
+    (bevel rings straddling two projection axes otherwise shatter into
+    1-face shards — the VERDICT r3 #8 'chart splitting casualty')."""
+    g2l = np.full(nbr.shape[0], -1, np.int64)
+    g2l[sel] = np.arange(len(sel))
+    local_nbr = g2l[np.maximum(nbr[sel], 0)]
+    local_nbr[nbr[sel] < 0] = -1
+    return _absorb_small_charts(f_sel, sub, local_nbr, min_faces)
+
+
 def _parameterize_charts(v: np.ndarray, f: np.ndarray, fn: np.ndarray,
                          chart: np.ndarray, min_lscm_faces: int = 20,
-                         thresh: float = 1.12):
+                         thresh: float = 1.12, nbr_g: np.ndarray = None):
     """Per-chart parameterization with an injectivity fixpoint: LSCM for
     charts of ≥ min_lscm_faces (planar projection otherwise or on LSCM
     failure), overlap-checked via the rasterized area ratio; overlapping
-    charts are split (6-axis bucketing, then spatial median) and requeued.
+    charts are split (6-axis bucketing with shard coalescing, then spatial
+    median) and requeued.
     Returns (chart ids, {chart: (global vertex ids, local uv)})."""
+    if nbr_g is None:
+        nbr_g = _face_adjacency(f, len(v))
     chart = chart.copy()
     fa = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
     areas = np.linalg.norm(fa, axis=1) * 0.5
@@ -647,9 +701,12 @@ def _parameterize_charts(v: np.ndarray, f: np.ndarray, fn: np.ndarray,
                 uvc = uvc * np.sqrt(a3 / auv)
             params[c] = (vid, uvc)
             continue
-        # split the chart and requeue the pieces
+        # split the chart and requeue the pieces (tiny shards of the split
+        # are coalesced into their larger siblings first)
         bucket = np.argmax(fn[sel] @ _AXES.T, axis=1)
         sub = _face_components_in_bucket(tris, bucket, len(v))
+        if sub.max() > 0:
+            sub = _coalesce_split(tris, sub, sel, nbr_g)
         if sub.max() == 0:
             cen = centroids[sel]
             axis = np.argmax(cen.max(0) - cen.min(0))
@@ -736,6 +793,7 @@ def unwrap(vertices: np.ndarray, faces: np.ndarray, margin: float = 0.004,
         # every chart must be edge-connected for packing and the guard
         chart = _face_components_in_bucket(f, chart, len(v))
         chart = _merge_charts(fn, areas, f, chart, nbr)
+        chart = _absorb_small_charts(f, chart, nbr)
     else:
         bucket = np.argmax(fn @ _AXES.T, axis=1)            # [F]
         bucket = _smooth_buckets(fn, bucket, nbr)
@@ -743,7 +801,7 @@ def unwrap(vertices: np.ndarray, faces: np.ndarray, margin: float = 0.004,
 
     # per-chart parameterization (LSCM with planar fallback) + injectivity
     # fixpoint — overlapping charts are split and re-parameterized
-    chart, params = _parameterize_charts(v, f, fn, chart)
+    chart, params = _parameterize_charts(v, f, fn, chart, nbr_g=nbr)
     n_charts = chart.max() + 1
 
     # split vertices per (vertex, chart)
