@@ -65,6 +65,17 @@ T0 = time.perf_counter()
 BUDGET = float(os.environ.get("HY3D_BENCH_BUDGET", "2700"))
 PEAK_BF16 = 197e12  # TPU v5e peak bf16 FLOP/s (one chip)
 
+# HY3D_BENCH_SMOKE=1: tiny configs so the ENTIRE bench control flow
+# (preflight, all stages, single-pass, emergency paths) can be exercised on
+# CPU — plumbing is validated before the driver's real TPU run
+SMOKE = os.environ.get("HY3D_BENCH_SMOKE", "0") == "1"
+if SMOKE:
+    SHAPE_SIZE, DINO, OCTREE, NUM_CHUNKS = "tiny", "tiny", 64, 32768
+    PAINT_SIZE, VIEW, RENDER, TEXTURE = "tiny", 32, 64, 64
+else:
+    SHAPE_SIZE, DINO, OCTREE, NUM_CHUNKS = "mini", "giant", 384, 262144
+    PAINT_SIZE, VIEW, RENDER, TEXTURE = "full", 512, 2048, 2048
+
 # persistent XLA compile cache (VERDICT r3 #2): keyed by program fingerprint,
 # survives across runs/rounds so a cold driver run skips recompiles
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -225,10 +236,10 @@ def shape_stage():
     from hunyuan3d2_tpu.pipelines.shapegen import Hunyuan3DDiTFlowMatchingPipeline
     from hunyuan3d2_tpu.volume.surface import SurfaceNetsExtractor
 
-    octree = 384
-    num_chunks = 262144
+    octree = OCTREE
+    num_chunks = NUM_CHUNKS
     pipe = Hunyuan3DDiTFlowMatchingPipeline.init_random(
-        jax.random.PRNGKey(0), size="mini", dino="giant")
+        jax.random.PRNGKey(0), size=SHAPE_SIZE, dino=DINO)
     pipe.enable_flashvdm(True, mc_algo="dmc")
     log(f"init done at t={time.perf_counter() - T0:.1f}s")
 
@@ -439,8 +450,8 @@ def texture_stage(pipe, out, image):
 
     gc.collect()
     paint = Hunyuan3DPaintPipeline.init_random(
-        jax.random.PRNGKey(1), size="full", view_size=512,
-        render_size=2048, texture_size=2048, num_inference_steps=10)
+        jax.random.PRNGKey(1), size=PAINT_SIZE, view_size=VIEW,
+        render_size=RENDER, texture_size=TEXTURE, num_inference_steps=10)
     paint.models["multiview_model"].pipeline.set_turbo(True)
     log(f"paint init done at t={time.perf_counter() - T0:.1f}s")
 
@@ -561,14 +572,17 @@ def single_pass_stage(paint, image):
     paint.models["multiview_model"].pipeline.vae_params = None
     gc.collect()
     pipe = Hunyuan3DDiTFlowMatchingPipeline.init_random(
-        jax.random.PRNGKey(0), size="mini", dino="giant")
+        jax.random.PRNGKey(0), size=SHAPE_SIZE, dino=DINO)
     pipe.enable_flashvdm(True, mc_algo="dmc")
     log(f"single-pass: shape stack up at t={time.perf_counter() - T0:.1f}s")
 
     t0 = time.perf_counter()
     mesh = pipe(image=image, num_inference_steps=5, guidance_scale=5.0,
-                octree_resolution=384, num_chunks=262144, mc_algo="dmc",
-                seed=7)
+                octree_resolution=OCTREE, num_chunks=NUM_CHUNKS,
+                mc_algo="dmc", seed=7)
+    if isinstance(mesh, list):
+        mesh = mesh[0]
+    assert mesh is not None, "single-pass decode produced no mesh"
     t_shape = time.perf_counter() - t0
     m = FloaterRemover()(mesh)
     m = DegenerateFaceRemover()(m)
@@ -581,8 +595,8 @@ def single_pass_stage(paint, image):
     pipe.conditioner.main.params = None
     gc.collect()
     paint2 = Hunyuan3DPaintPipeline.init_random(
-        jax.random.PRNGKey(1), size="full", view_size=512,
-        render_size=2048, texture_size=2048, num_inference_steps=10)
+        jax.random.PRNGKey(1), size=PAINT_SIZE, view_size=VIEW,
+        render_size=RENDER, texture_size=TEXTURE, num_inference_steps=10)
     paint2.models["multiview_model"].pipeline.set_turbo(True)
     t_swap = time.perf_counter() - t_swap0
 
