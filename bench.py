@@ -679,9 +679,13 @@ def main():
 if __name__ == "__main__":
     try:
         main()
-    except Exception:
+    except Exception as e:
         import traceback
 
-        tb = traceback.format_exc()
-        print(tb, file=sys.stderr, flush=True)
-        _emergency_exit(tb.strip().splitlines()[-1])
+        print(traceback.format_exc(), file=sys.stderr, flush=True)
+        # format_exception_only yields the "SomeError: msg" line — the raw
+        # traceback's last line can be JAX's frame-filtering notice instead
+        reason = "".join(
+            traceback.format_exception_only(type(e), e)).strip()
+        # first line = "SomeError: <first message line>"
+        _emergency_exit(reason.splitlines()[0] if reason else repr(e))
