@@ -278,7 +278,8 @@ def _attention(p, x: Array, kv: Array, heads: int, mask: Array = None) -> Array:
 def _tblock(p, cfg: PaintUNetConfig, x: Array, context: Array, layer: str,
             mode: str, num_views: int, cache: Dict[str, Array],
             ref_scale: float, mva_scale: float,
-            mva_masks: dict = None) -> Array:
+            mva_masks: dict = None, ip_context: Array = None,
+            ip_scale: float = 1.0) -> Array:
     heads = cfg.num_heads or x.shape[-1] // cfg.attention_head_dim
     h = layer_norm(x, p["norm1"]["scale"], p["norm1"]["bias"], eps=1e-5)
 
@@ -303,7 +304,22 @@ def _tblock(p, cfg: PaintUNetConfig, x: Array, context: Array, layer: str,
         x = x + mva_scale * out.reshape(bn, l, c)
 
     h = layer_norm(x, p["norm2"]["scale"], p["norm2"]["bias"], eps=1e-5)
-    x = x + _attention(p["attn2"], h, context, heads)
+    if ip_context is not None and "to_k_ip" in p["attn2"]:
+        # IP-Adapter decoupled image cross-attention (diffusers
+        # IPAdapterAttnProcessor): same query, separate K/V projections over
+        # the image tokens; the scaled image branch is added to the text
+        # branch BEFORE the shared to_out projection
+        a = p["attn2"]
+        q = split_heads(Linear.apply(a["to_q"], h), heads)
+        k = split_heads(Linear.apply(a["to_k"], context), heads)
+        v = split_heads(Linear.apply(a["to_v"], context), heads)
+        out = attn_op(q, k, v)
+        k_ip = split_heads(Linear.apply(a["to_k_ip"], ip_context), heads)
+        v_ip = split_heads(Linear.apply(a["to_v_ip"], ip_context), heads)
+        out = out + ip_scale * attn_op(q, k_ip, v_ip)
+        x = x + Linear.apply(a["to_out"], merge_heads(out))
+    else:
+        x = x + _attention(p["attn2"], h, context, heads)
 
     h = layer_norm(x, p["norm3"]["scale"], p["norm3"]["bias"], eps=1e-5)
     ff = Linear.apply(p["ff_in"], h)
@@ -314,7 +330,7 @@ def _tblock(p, cfg: PaintUNetConfig, x: Array, context: Array, layer: str,
 
 def _transformer2d(p, cfg: PaintUNetConfig, x: Array, context: Array, layer: str,
                    mode: str, num_views: int, cache, ref_scale, mva_scale,
-                   mva_masks=None) -> Array:
+                   mva_masks=None, ip_context=None, ip_scale=1.0) -> Array:
     b, hh, ww, c = x.shape
     res = x
     y = group_norm(x, p["norm"]["scale"], p["norm"]["bias"], cfg.norm_num_groups,
@@ -322,7 +338,7 @@ def _transformer2d(p, cfg: PaintUNetConfig, x: Array, context: Array, layer: str
     y = y.reshape(b, hh * ww, c)
     y = Linear.apply(p["proj_in"], y)
     y = _tblock(p["block"], cfg, y, context, layer, mode, num_views, cache,
-                ref_scale, mva_scale, mva_masks)
+                ref_scale, mva_scale, mva_masks, ip_context, ip_scale)
     y = Linear.apply(p["proj_out"], y)
     return res + y.reshape(b, hh, ww, c)
 
@@ -331,11 +347,20 @@ def unet_apply(params, cfg: PaintUNetConfig, sample: Array, t: Array,
                context: Array, class_labels: Optional[Array], mode: str,
                num_views: int, cache: Dict[str, Array],
                ref_scale: float = 1.0, mva_scale: float = 1.0,
-               mva_masks: dict = None) -> Array:
+               mva_masks: dict = None, ip_context: Array = None,
+               ip_scale: float = 1.0, ctrl_down: list = None,
+               ctrl_mid: Array = None) -> Array:
     """Core UNet2DConditionModel forward (+2.5D attentions).
 
     sample: [(B·N), H, W, C_in] NHWC; t: [(B·N)]; context: [(B·N), 77, D].
     ``cache`` is mutated in 'w' mode (python dict; keys static per config).
+
+    ``ip_context``/``ip_scale``: IP-Adapter image tokens (added in attn2 when
+    the params carry to_k_ip/to_v_ip). ``ctrl_down``/``ctrl_mid``: ControlNet
+    residuals — ctrl_down matches the skip list (conv_in + every down-block
+    output), ctrl_mid is added after the mid block (diffusers
+    UNet2DConditionModel down_block_additional_residuals /
+    mid_block_additional_residual).
     """
     g = cfg.norm_num_groups
     temb = sd_timestep_embedding(t, cfg.block_out_channels[0])
@@ -362,7 +387,8 @@ def unet_apply(params, cfg: PaintUNetConfig, sample: Array, t: Array,
             if blk["attns"]:
                 x = _transformer2d(blk["attns"][j], cfg, x, context,
                                    f"down_{i}_{j}", mode, num_views, cache,
-                                   ref_scale, mva_scale, mva_masks)
+                                   ref_scale, mva_scale, mva_masks,
+                                   ip_context, ip_scale)
             residuals.append(x)
         if "downsample" in blk:
             # diffusers UNet Downsample2D uses SYMMETRIC padding=1 (unlike
@@ -371,10 +397,16 @@ def unet_apply(params, cfg: PaintUNetConfig, sample: Array, t: Array,
                              padding=((1, 1), (1, 1)))
             residuals.append(x)
 
+    if ctrl_down is not None:
+        residuals = [r + c for r, c in zip(residuals, ctrl_down)]
+
     x = ResnetBlock.apply(params["mid"]["res1"], x, temb, g, eps=1e-5)
     x = _transformer2d(params["mid"]["attn"], cfg, x, context, "mid_0",
-                       mode, num_views, cache, ref_scale, mva_scale, mva_masks)
+                       mode, num_views, cache, ref_scale, mva_scale, mva_masks,
+                       ip_context, ip_scale)
     x = ResnetBlock.apply(params["mid"]["res2"], x, temb, g, eps=1e-5)
+    if ctrl_mid is not None:
+        x = x + ctrl_mid
 
     for i, blk in enumerate(params["up"]):
         for j, r in enumerate(blk["resnets"]):
@@ -384,7 +416,8 @@ def unet_apply(params, cfg: PaintUNetConfig, sample: Array, t: Array,
             if blk["attns"]:
                 x = _transformer2d(blk["attns"][j], cfg, x, context,
                                    f"up_{i}_{j}", mode, num_views, cache,
-                                   ref_scale, mva_scale, mva_masks)
+                                   ref_scale, mva_scale, mva_masks,
+                                   ip_context, ip_scale)
         if "upsample" in blk:
             x = upsample_nearest2x(x)
             x = Conv2d.apply(blk["upsample"], x)
