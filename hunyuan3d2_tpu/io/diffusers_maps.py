@@ -786,3 +786,279 @@ def load_t2i_pipeline(cls, ckpt_path: str, dtype="bf16", **kwargs):
     pipe = cls(dit_params, dcfg, vae_params, vcfg, **kwargs)
     pipe._from_checkpoint = True   # gates the pseudo-embedding warning
     return pipe
+
+
+# ---------------------------------------------------------------------------
+# ControlNet + IP-Adapter (models/controlnet.py, models/ip_adapter.py)
+# ---------------------------------------------------------------------------
+def map_controlnet(sd: Dict[str, np.ndarray], cfg, dtype="bf16") -> dict:
+    """diffusers ControlNetModel state dict → controlnet param tree.
+
+    Naming: the down/mid trunk shares UNet2DConditionModel names; plus
+    controlnet_cond_embedding.{conv_in,blocks.N,conv_out} and the zero convs
+    controlnet_down_blocks.N / controlnet_mid_block."""
+    dtype = _resolve_dtype(dtype)
+    n = len(cfg.block_out_channels)
+    p = {
+        "conv_in": _conv(sd, "conv_in", dtype),
+        "time_mlp_in": _lin(sd, "time_embedding.linear_1", dtype),
+        "time_mlp_out": _lin(sd, "time_embedding.linear_2", dtype),
+        "down": [],
+    }
+    cond = {"conv_in": _conv(sd, "controlnet_cond_embedding.conv_in", dtype),
+            "blocks": []}
+    i = 0
+    while f"controlnet_cond_embedding.blocks.{i}.weight" in sd:
+        cond["blocks"].append(
+            _conv(sd, f"controlnet_cond_embedding.blocks.{i}", dtype))
+        i += 1
+    # conv_out stays fp32: it is the zero-init tap — bf16 rounding of small
+    # finetuned weights costs control fidelity disproportionately
+    cond["conv_out"] = _conv(sd, "controlnet_cond_embedding.conv_out",
+                             np.float32)
+    p["cond_embed"] = cond
+
+    for i in range(n):
+        blk = {"resnets": [], "attns": []}
+        for j in range(cfg.layers_per_block):
+            blk["resnets"].append(
+                _resnet(sd, f"down_blocks.{i}.resnets.{j}", dtype, temb=True))
+            if f"down_blocks.{i}.attentions.{j}.proj_in.weight" in sd:
+                blk["attns"].append(_transformer2d(
+                    sd, f"down_blocks.{i}.attentions.{j}", dtype,
+                    extras=False))
+        ds = f"down_blocks.{i}.downsamplers.0.conv"
+        if ds + ".weight" in sd:
+            blk["downsample"] = _conv(sd, ds, dtype)
+        p["down"].append(blk)
+
+    p["mid"] = {
+        "res1": _resnet(sd, "mid_block.resnets.0", dtype, temb=True),
+        "attn": _transformer2d(sd, "mid_block.attentions.0", dtype,
+                               extras=False),
+        "res2": _resnet(sd, "mid_block.resnets.1", dtype, temb=True),
+    }
+    zc = []
+    i = 0
+    while f"controlnet_down_blocks.{i}.weight" in sd:
+        zc.append(_conv(sd, f"controlnet_down_blocks.{i}", np.float32))
+        i += 1
+    p["ctrl_down"] = zc
+    p["ctrl_mid"] = _conv(sd, "controlnet_mid_block", np.float32)
+    return p
+
+
+def map_ip_resampler(sd: Dict[str, np.ndarray], dtype="bf16",
+                     prefix: str = "image_proj.") -> dict:
+    """IP-Adapter-plus 'image_proj' keys (original ip_adapter/resampler.py
+    naming) → ip_adapter.init_resampler tree."""
+    dtype = _resolve_dtype(dtype)
+    s = {kk[len(prefix):]: vv for kk, vv in sd.items()
+         if kk.startswith(prefix)}
+    p = {
+        "latents": np.asarray(s["latents"], np.float32).reshape(
+            s["latents"].shape[-2], s["latents"].shape[-1]),
+        "proj_in": _lin(s, "proj_in", dtype),
+        "proj_out": _lin(s, "proj_out", dtype),
+        "norm_out": _ln(s, "norm_out"),
+        "layers": [],
+    }
+    i = 0
+    while f"layers.{i}.0.to_q.weight" in s:
+        p["layers"].append({
+            "norm1": _ln(s, f"layers.{i}.0.norm1"),
+            "norm2": _ln(s, f"layers.{i}.0.norm2"),
+            "to_q": _lin(s, f"layers.{i}.0.to_q", dtype, bias=False),
+            "to_kv": _lin(s, f"layers.{i}.0.to_kv", dtype, bias=False),
+            "to_out": _lin(s, f"layers.{i}.0.to_out", dtype, bias=False),
+            # FeedForward = Sequential(LayerNorm, Linear, GELU, Linear)
+            "ff_norm": _ln(s, f"layers.{i}.1.0"),
+            "ff_in": _lin(s, f"layers.{i}.1.1", dtype, bias=False),
+            "ff_out": _lin(s, f"layers.{i}.1.3", dtype, bias=False),
+        })
+        i += 1
+    return p
+
+
+def graft_ip_adapter_weights(unet_params, sd: Dict[str, np.ndarray],
+                             dtype="bf16", prefix: str = "ip_adapter."):
+    """Load the 'ip_adapter' to_k_ip/to_v_ip weights onto a UNet tree.
+
+    diffusers key order: unet.attn_processors traversal = ALL down blocks,
+    ALL up blocks, then mid (mid_block is assigned after the ModuleLists in
+    UNet2DConditionModel.__init__), attn2 processors only, key_id 1,3,5,…"""
+    dtype = _resolve_dtype(dtype)
+    s = {kk[len(prefix):]: vv for kk, vv in sd.items()
+         if kk.startswith(prefix)}
+
+    order = []
+    for blk in unet_params["down"]:
+        order += [t2d["block"]["attn2"] for t2d in blk["attns"]]
+    for blk in unet_params.get("up", []):
+        order += [t2d["block"]["attn2"] for t2d in blk["attns"]]
+    order.append(unet_params["mid"]["attn"]["block"]["attn2"])
+
+    key_id = 1
+    for a in order:
+        a["to_k_ip"] = {"w": np.ascontiguousarray(
+            np.asarray(s[f"{key_id}.to_k_ip.weight"]).T).astype(dtype)}
+        a["to_v_ip"] = {"w": np.ascontiguousarray(
+            np.asarray(s[f"{key_id}.to_v_ip.weight"]).T).astype(dtype)}
+        key_id += 2
+    return unet_params
+
+
+def load_align_pipeline(cls, sd_path: str, controlnet_path: str,
+                        ip_adapter_path: str = None, dtype="bf16", **kwargs):
+    """Reference construction (alignImg4Tex_utils.py:22-33): SD1.5 dir +
+    ControlNetModel dir (+ optional IP-Adapter safetensors file) →
+    ControlNetSDPipeline."""
+    import dataclasses
+    import json
+    import os
+
+    from hunyuan3d2_tpu.io.checkpoints import load_state_dict
+    from hunyuan3d2_tpu.models import ip_adapter as ipa
+    from hunyuan3d2_tpu.models import sd_vae
+    from hunyuan3d2_tpu.pipelines.align import SD15_UNET
+
+    def _json(base, sub=""):
+        p = os.path.join(base, sub, "config.json")
+        return json.load(open(p)) if os.path.exists(p) else {}
+
+    def _weights(base, sub=""):
+        for name in ("diffusion_pytorch_model.safetensors",
+                     "diffusion_pytorch_model.bin",
+                     "diffusion_pytorch_model.fp16.safetensors"):
+            p = os.path.join(base, sub, name)
+            if os.path.exists(p):
+                return load_state_dict(p)
+        raise FileNotFoundError(f"no weights under {base}/{sub}")
+
+    ujson = _json(sd_path, "unet")
+    head = ujson.get("attention_head_dim", 8)
+    ucfg = dataclasses.replace(
+        SD15_UNET,
+        in_channels=ujson.get("in_channels", 4),
+        block_out_channels=tuple(ujson.get("block_out_channels",
+                                           (320, 640, 1280, 1280))),
+        layers_per_block=ujson.get("layers_per_block", 2),
+        cross_attention_dim=ujson.get("cross_attention_dim", 768),
+        num_heads=head if isinstance(head, int) else None,
+    )
+    unet_params = map_unet_core(_weights(sd_path, "unet"), ucfg, dtype,
+                                prefix="", extras=False)
+    ctrl_params = map_controlnet(_weights(controlnet_path), ucfg, dtype)
+
+    vjson = _json(sd_path, "vae")
+    vcfg = sd_vae.SDVAEConfig(
+        latent_channels=vjson.get("latent_channels", 4),
+        block_out_channels=tuple(vjson.get("block_out_channels",
+                                           (128, 256, 512, 512))),
+        layers_per_block=vjson.get("layers_per_block", 2),
+        scaling_factor=vjson.get("scaling_factor", 0.18215),
+    )
+    vae_params = map_sd_vae(_weights(sd_path, "vae"), vcfg, dtype)
+
+    if ip_adapter_path is not None and os.path.exists(ip_adapter_path):
+        ip_sd = load_state_dict(ip_adapter_path)
+        res_params = map_ip_resampler(ip_sd, dtype)
+        graft_ip_adapter_weights(unet_params, ip_sd, dtype)
+        d = res_params["layers"][0]["to_q"]["w"].shape[0]
+        rcfg = dataclasses.replace(
+            ipa.PLUS_SD15,
+            dim=d,
+            depth=len(res_params["layers"]),
+            num_queries=res_params["latents"].shape[0],
+            embedding_dim=res_params["proj_in"]["w"].shape[0],
+            output_dim=res_params["proj_out"]["w"].shape[1],
+            heads=d // ipa.PLUS_SD15.dim_head,
+        )
+    else:
+        # no adapter file → zero-grafted (inert) adapter + default config
+        import jax
+
+        rcfg = dataclasses.replace(ipa.PLUS_SD15,
+                                   output_dim=ucfg.cross_attention_dim)
+        res_params = ipa.init_resampler(jax.random.PRNGKey(0), rcfg)
+        # numpy-tree zero graft (same semantics as ipa.add_ip_adapter)
+        for blk in unet_params["down"] + unet_params["up"]:
+            for t2d in blk["attns"]:
+                a = t2d["block"]["attn2"]
+                d = a["to_q"]["w"].shape[1]
+                z = np.zeros((ucfg.cross_attention_dim, d), np.float32)
+                a["to_k_ip"], a["to_v_ip"] = {"w": z}, {"w": z.copy()}
+        a = unet_params["mid"]["attn"]["block"]["attn2"]
+        d = a["to_q"]["w"].shape[1]
+        z = np.zeros((ucfg.cross_attention_dim, d), np.float32)
+        a["to_k_ip"], a["to_v_ip"] = {"w": z}, {"w": z.copy()}
+
+    text = empty_prompt_embed(sd_path)
+    return cls(unet_params, ucfg, ctrl_params, ucfg, vae_params, vcfg,
+               res_params, rcfg, text, np.zeros_like(text), **kwargs)
+
+
+def export_controlnet(params) -> dict:
+    """controlnet param tree → diffusers ControlNetModel state-dict naming
+    (round-trip twin of map_controlnet; ships weights back to torch users)."""
+    out = {}
+    _x_conv(out, "conv_in", params["conv_in"])
+    _x_lin(out, "time_embedding.linear_1", params["time_mlp_in"])
+    _x_lin(out, "time_embedding.linear_2", params["time_mlp_out"])
+    ce = params["cond_embed"]
+    _x_conv(out, "controlnet_cond_embedding.conv_in", ce["conv_in"])
+    for i, b in enumerate(ce["blocks"]):
+        _x_conv(out, f"controlnet_cond_embedding.blocks.{i}", b)
+    _x_conv(out, "controlnet_cond_embedding.conv_out", ce["conv_out"])
+    for i, blk in enumerate(params["down"]):
+        for j, r in enumerate(blk["resnets"]):
+            _x_resnet(out, f"down_blocks.{i}.resnets.{j}", r)
+        for j, a in enumerate(blk["attns"]):
+            _x_transformer2d(out, f"down_blocks.{i}.attentions.{j}", a,
+                             extras=False)
+        if "downsample" in blk:
+            _x_conv(out, f"down_blocks.{i}.downsamplers.0.conv",
+                    blk["downsample"])
+    _x_resnet(out, "mid_block.resnets.0", params["mid"]["res1"])
+    _x_transformer2d(out, "mid_block.attentions.0", params["mid"]["attn"],
+                     extras=False)
+    _x_resnet(out, "mid_block.resnets.1", params["mid"]["res2"])
+    for i, zc in enumerate(params["ctrl_down"]):
+        _x_conv(out, f"controlnet_down_blocks.{i}", zc)
+    _x_conv(out, "controlnet_mid_block", params["ctrl_mid"])
+    return out
+
+
+def export_ip_adapter(unet_params, resampler_params) -> dict:
+    """(unet tree with to_k_ip/to_v_ip, resampler tree) → the IP-Adapter
+    checkpoint layout ('image_proj.*' + 'ip_adapter.{1,3,5,…}.to_{k,v}_ip')."""
+    out = {}
+    p = resampler_params
+    out["image_proj.latents"] = np.asarray(p["latents"], np.float32)[None]
+    _x_lin(out, "image_proj.proj_in", p["proj_in"])
+    _x_lin(out, "image_proj.proj_out", p["proj_out"])
+    _x_norm(out, "image_proj.norm_out", p["norm_out"])
+    for i, lp in enumerate(p["layers"]):
+        _x_norm(out, f"image_proj.layers.{i}.0.norm1", lp["norm1"])
+        _x_norm(out, f"image_proj.layers.{i}.0.norm2", lp["norm2"])
+        _x_lin(out, f"image_proj.layers.{i}.0.to_q", lp["to_q"])
+        _x_lin(out, f"image_proj.layers.{i}.0.to_kv", lp["to_kv"])
+        _x_lin(out, f"image_proj.layers.{i}.0.to_out", lp["to_out"])
+        _x_norm(out, f"image_proj.layers.{i}.1.0", lp["ff_norm"])
+        _x_lin(out, f"image_proj.layers.{i}.1.1", lp["ff_in"])
+        _x_lin(out, f"image_proj.layers.{i}.1.3", lp["ff_out"])
+
+    order = []
+    for blk in unet_params["down"]:
+        order += [t["block"]["attn2"] for t in blk["attns"]]
+    for blk in unet_params.get("up", []):
+        order += [t["block"]["attn2"] for t in blk["attns"]]
+    order.append(unet_params["mid"]["attn"]["block"]["attn2"])
+    key_id = 1
+    for a in order:
+        if "to_k_ip" not in a:
+            continue
+        _x_lin(out, f"ip_adapter.{key_id}.to_k_ip", a["to_k_ip"])
+        _x_lin(out, f"ip_adapter.{key_id}.to_v_ip", a["to_v_ip"])
+        key_id += 2
+    return out
