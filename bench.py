@@ -278,8 +278,10 @@ def shape_stage():
 
     from hunyuan3d2_tpu.models.shapevae import active_capacity, face_capacity
     from hunyuan3d2_tpu.volume.decoders import (
+        bucket_slice,
         extract_active_cells,
-        surface_nets_device,
+        quads_to_tris,
+        surface_nets_from_grid,
     )
     from hunyuan3d2_tpu.volume.surface import Latent2MeshOutput
 
@@ -287,36 +289,33 @@ def shape_stage():
     log(f"sphere fixture built at t={time.perf_counter() - T0:.1f}s")
     cap = active_capacity(octree)
     fcap = face_capacity(octree)
+    # the production path (latents2mesh 'mesh' mode): fused compaction +
+    # surface-nets emission in one program, bucketed host transfer
+    sn_fused = jax.jit(functools.partial(surface_nets_from_grid,
+                                         level=0.0, box_v=1.01, capacity=cap,
+                                         face_capacity=fcap))
     extract = jax.jit(functools.partial(extract_active_cells,
                                         level=0.0, capacity=cap))
-    # the production path (latents2mesh 'mesh' mode): actives → on-device
-    # surface nets; host only slices (VERDICT r3 #4)
-    sn_dev = jax.jit(functools.partial(surface_nets_device, R=octree + 1,
-                                       level=0.0, box_v=1.01,
-                                       face_capacity=fcap))
     extractor = SurfaceNetsExtractor()
 
     def run_surface(verbose=False):
         t0 = time.perf_counter()
-        cell_flat, vals, count = extract(sphere_dev)
-        verts, tris, nq = sn_dev(cell_flat, vals)
-        jax.block_until_ready((verts, tris, nq, count))
+        verts, quads, nq, count, ok = sn_fused(sphere_dev)
+        n, nq_i, ok = int(count), int(nq), bool(ok)
         t1 = time.perf_counter()
-        n, nq_i = int(count), int(nq)
-        if n > cap or nq_i > fcap:  # overflow → host assembly fallback
-            r = extractor.from_actives(cell_flat, vals, n, octree + 1,
-                                       0.0, 1.01)
+        if not ok:  # capacity overflow → host assembly fallback
+            cell_flat, vals, count = extract(sphere_dev)
+            r = extractor.from_actives(cell_flat, vals, int(count),
+                                       octree + 1, 0.0, 1.01)
             if verbose:
                 log(f"  surface sub (host fallback): n={n} nq={nq_i}")
             return r
-        t2 = time.perf_counter()
-        v_host = np.asarray(verts[:n], np.float32)
-        f_host = np.asarray(tris[:2 * nq_i], np.int32)
+        v_host = bucket_slice(verts, n).astype(np.float32)
+        f_host = quads_to_tris(bucket_slice(quads, nq_i)).astype(np.int32)
         r = Latent2MeshOutput(v_host, f_host)
         if verbose:
-            log(f"  surface sub: device emit {t1 - t0:.2f}s scalar-fetch "
-                f"{t2 - t1:.2f}s slice+transfer "
-                f"{time.perf_counter() - t2:.2f}s "
+            log(f"  surface sub: device emit+fetch {t1 - t0:.2f}s "
+                f"slice+transfer {time.perf_counter() - t1:.2f}s "
                 f"({n} verts, {2 * nq_i} tris)")
         return r
 

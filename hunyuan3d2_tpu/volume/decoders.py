@@ -385,6 +385,181 @@ def surface_nets_device(cell_flat: Array, vals: Array, R: int, level: float,
     return verts, tris, nq
 
 
+def surface_nets_from_grid(grid: Array, level: float, box_v: float,
+                           capacity: int, face_capacity: int,
+                           block_edge: int = 8,
+                           block_capacity: int = None):
+    """Fused active-cell compaction + surface-nets emission, ONE program.
+
+    The TPU-measured replacement for extract_active_cells →
+    surface_nets_device (0.37 s + 1.26 s at 385³): the two costs there are a
+    56M-element compaction scatter and a searchsorted neighbor lookup
+    (≈20 binary-search gather rounds over 2.7M queries). This version:
+
+      * two-stage spatial compaction — 16³ blocks containing any active cell
+        are compacted first (13.8k-element scatter), then cells inside the
+        ≤block_capacity selected blocks (a few-M-element scatter instead of
+        56M); surfaces are O(R²) so a fixed block budget of
+        capacity/block_edge² holds with a wide margin,
+      * neighbor lookup through a scattered inverse map (inv[cell_id] =
+        compacted position, one 226 MB fill + capacity-sized scatter + 3×3
+        gathers) instead of searchsorted — compaction order becomes
+        irrelevant, so blockwise order is fine.
+
+    Returns (verts [capacity,3] f32, quads [face_capacity,4] i32 — expand to
+    triangles host-side with quads_to_tris (halves the transfer and skips a
+    32 MB device materialization), nq [] i32, count [] i32, ok [] bool).
+    ``ok=False`` ⇒ a capacity overflowed and the caller must fall back
+    (dense/host path); outputs are undefined.
+    """
+    g = grid[0] if grid.ndim == 4 else grid
+    R = g.shape[0]
+    nc = R - 1
+    E = block_edge
+    nb = _cdiv(nc, E)
+    P = nb * E
+
+    occ = g > level
+    base = occ[:-1, :-1, :-1]
+    agree = None
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                if dx == dy == dz == 0:
+                    continue
+                c = occ[dx:nc + dx, dy:nc + dy, dz:nc + dz]
+                eq = c == base
+                agree = eq if agree is None else (agree & eq)
+    active = ~agree                                            # [nc]³ bool
+    count = jnp.sum(active.astype(jnp.int32))
+
+    if P != nc:
+        active = jnp.pad(active, ((0, P - nc),) * 3)
+    ab = active.reshape(nb, E, nb, E, nb, E).transpose(
+        0, 2, 4, 1, 3, 5).reshape(nb ** 3, E ** 3)
+
+    # ---- stage A: compact the occupied spatial blocks --------------------
+    if block_capacity is None:
+        # same O(R²) surface argument as active_capacity, at block
+        # granularity: 6·nb² is ~5× a sphere's block footprint
+        block_capacity = max(1024, 6 * nb * nb)
+    bcap = min(nb ** 3, block_capacity)
+    blk_any = ab.any(axis=1)
+    nblk = jnp.sum(blk_any.astype(jnp.int32))
+    bpos = jnp.cumsum(blk_any.astype(jnp.int32)) - 1
+    bdest = jnp.where(blk_any & (bpos < bcap), bpos, bcap)
+    bsel = jnp.full((bcap + 1,), -1, jnp.int32).at[bdest].set(
+        jnp.arange(nb ** 3, dtype=jnp.int32), mode="drop")[:bcap]
+    ok = nblk <= bcap
+
+    # ---- stage B: compact cells inside the selected blocks ---------------
+    bsafe = jnp.maximum(bsel, 0)
+    act_sel = ab[bsafe] & (bsel >= 0)[:, None]                 # [bcap, E³]
+    flat = act_sel.reshape(-1)
+    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    bx = bsafe // (nb * nb)
+    by = (bsafe // nb) % nb
+    bz = bsafe % nb
+    li = jnp.arange(E ** 3, dtype=jnp.int32)
+    lx, ly, lz = li // (E * E), (li // E) % E, li % E
+    gx = bx[:, None] * E + lx[None]
+    gy = by[:, None] * E + ly[None]
+    gz = bz[:, None] * E + lz[None]
+    gid = ((gx * nc + gy) * nc + gz).reshape(-1)               # [bcap·E³]
+    dest = jnp.where(flat & (pos < capacity), pos, capacity)
+    cell_flat = jnp.full((capacity + 1,), -1, jnp.int32).at[dest].set(
+        gid.astype(jnp.int32), mode="drop")[:capacity]
+    ok = ok & (count <= capacity)
+
+    # ---- corner values + vertices (identical math to surface_nets_device)
+    pad = cell_flat < 0
+    cf = jnp.maximum(cell_flat, 0).astype(jnp.int32)
+    cx = cf // (nc * nc)
+    cy = (cf // nc) % nc
+    cz = cf % nc
+    cells = jnp.stack([cx, cy, cz], axis=1)
+    corners = jnp.asarray(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+         [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], jnp.int32)
+    pflat = ((cx[:, None] + corners[None, :, 0]) * R
+             + (cy[:, None] + corners[None, :, 1])) * R \
+        + (cz[:, None] + corners[None, :, 2])
+    v = g.reshape(-1)[pflat].astype(jnp.float32)               # [cap, 8]
+
+    cube_edges = jnp.asarray([[0, 1], [1, 2], [2, 3], [3, 0],
+                              [4, 5], [5, 6], [6, 7], [7, 4],
+                              [0, 4], [1, 5], [2, 6], [3, 7]], jnp.int32)
+    va = v[:, cube_edges[:, 0]]
+    vb = v[:, cube_edges[:, 1]]
+    cross = (va > level) != (vb > level)
+    denom = jnp.where(jnp.abs(vb - va) < 1e-12, 1e-12, vb - va)
+    t = jnp.clip((level - va) / denom, 0.0, 1.0)
+    pa = corners[cube_edges[:, 0]].astype(jnp.float32)
+    pb = corners[cube_edges[:, 1]].astype(jnp.float32)
+    pts = pa[None] + t[..., None] * (pb - pa)[None]
+    w = cross.astype(jnp.float32)
+    local = (pts * w[..., None]).sum(1) / jnp.maximum(
+        w.sum(1, keepdims=True), 1.0)
+    verts = (cells.astype(jnp.float32) + local)
+    verts = verts / (R - 1.0) * (2.0 * box_v) - box_v
+
+    # ---- inverse map + faces ---------------------------------------------
+    inv = jnp.full((nc ** 3 + 1,), -1, jnp.int32).at[
+        jnp.where(pad, nc ** 3, cf)].set(
+        jnp.arange(capacity, dtype=jnp.int32), mode="drop")
+
+    def lookup(ids):
+        # ids < nc³ always (cf - stride); negatives are masked by `interior`
+        return inv[jnp.maximum(ids, 0)]
+
+    strides = jnp.asarray([nc * nc, nc, 1], jnp.int32)
+    occ0 = v[:, 0] > level
+    end_corner = jnp.asarray([1, 3, 4], jnp.int32)
+    me = jnp.arange(capacity, dtype=jnp.int32)
+    quads, valids = [], []
+    for d in range(3):
+        u, vv = (d + 1) % 3, (d + 2) % 3
+        change = occ0 != (v[:, end_corner[d]] > level)
+        interior = (cells[:, u] > 0) & (cells[:, vv] > 0)
+        su, sv = strides[u], strides[vv]
+        n1 = lookup(cf - su)
+        n2 = lookup(cf - su - sv)
+        n3 = lookup(cf - sv)
+        q = jnp.stack([me, n1, n2, n3], axis=1)
+        q = jnp.where(occ0[:, None], q, q[:, ::-1])
+        okq = (change & interior & ~pad
+               & (n1 >= 0) & (n2 >= 0) & (n3 >= 0))
+        quads.append(q)
+        valids.append(okq)
+    quads = jnp.concatenate(quads, axis=0)
+    valid = jnp.concatenate(valids, axis=0)
+    qbuf, nq = compact_rows(valid, quads, face_capacity, -1)
+    ok = ok & (nq <= face_capacity)
+    return verts, qbuf, nq, count, ok
+
+
+def quads_to_tris(quads):
+    """[n, 4] surface-nets quads → [2n, 3] triangles (host-side expansion,
+    same interleaving as surface_nets_device's device emission)."""
+    import numpy as np
+
+    q = np.asarray(quads)
+    return np.stack([q[:, (0, 1, 2)], q[:, (0, 2, 3)]],
+                    axis=1).reshape(-1, 3)
+
+
+def bucket_slice(device_arr, n: int, bucket: int = 65536):
+    """Host transfer of device_arr[:n] with the slice length rounded up to a
+    bucket multiple: each distinct slice length is a separate compiled
+    program through the remote-device tunnel (~0.5 s per first-seen length),
+    so production meshes (every mesh a different n) would pay it per mesh.
+    Bucketing bounds the program count by capacity/bucket."""
+    import numpy as np
+
+    nb = min(int(device_arr.shape[0]), _cdiv(max(n, 1), bucket) * bucket)
+    return np.asarray(device_arr[:nb])[:n]
+
+
 def assemble_sparse_grid(coarse16, blk_idx, fine16, octree_resolution: int,
                          block: int, coarse_factor: int,
                          background: str = "nearest"):

@@ -214,3 +214,52 @@ def test_device_surface_nets_matches_host():
     from hunyuan3d2_tpu.volume.surface import Latent2MeshOutput
 
     _mesh_checks(Latent2MeshOutput(v_dev, f_dev), 0.6)
+
+
+def test_fused_surface_nets_from_grid_matches_device_path():
+    """surface_nets_from_grid (fused two-stage compaction + inverse-map
+    neighbor lookup) must produce the same geometry as the
+    extract_active_cells → surface_nets_device pair — identical triangle
+    sets by vertex coordinates (compaction order may differ), identical
+    counts. Covers the padded case (nc not a block_edge multiple) and the
+    overflow flag."""
+    import jax.numpy as jnp
+
+    from hunyuan3d2_tpu.volume.decoders import (
+        bucket_slice,
+        extract_active_cells,
+        quads_to_tris,
+        surface_nets_device,
+        surface_nets_from_grid,
+    )
+
+    for res in (48, 45):                       # 44 cells: padded to 48
+        grid = sphere_grid(res=res)
+        R = grid.shape[1]
+        # f16 grid → both paths see identical corner values (extract rounds
+        # to f16; the fused path gathers at grid precision), so the
+        # geometry comparison is exact
+        g = jnp.asarray(grid).astype(jnp.float16)
+        cell_flat, vals, count = extract_active_cells(g, 0.0, capacity=40000)
+        v1, t1, nq1 = surface_nets_device(cell_flat, vals, R, 0.0, 1.01,
+                                          60000)
+        n, nq1 = int(count), int(nq1)
+        V1 = np.asarray(v1[:n], np.float32)
+        T1 = np.asarray(t1[:2 * nq1], np.int32)
+
+        v2, q2, nq2, c2, ok = surface_nets_from_grid(g, 0.0, 1.01, 40000,
+                                                     60000)
+        assert bool(ok) and int(c2) == n and int(nq2) == nq1
+        V2 = bucket_slice(v2, n, bucket=4096).astype(np.float32)
+        T2 = quads_to_tris(bucket_slice(q2, nq1, bucket=4096))
+
+        def canonset(V, T):
+            return sorted(
+                tuple(sorted(map(tuple, V[t].tolist()))) for t in T)
+
+        assert canonset(V1, T1) == canonset(V2, T2)
+
+    # overflow: tiny capacity must flip ok off
+    *_, ok = surface_nets_from_grid(jnp.asarray(sphere_grid(res=48)),
+                                    0.0, 1.01, 64, 128)
+    assert not bool(ok)
