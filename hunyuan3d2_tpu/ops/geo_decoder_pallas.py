@@ -27,8 +27,10 @@ Weight-streaming arithmetic: a T=256 tile does 256·22 MF ≈ 5.7 GFLOP
 (~30 µs at v5e peak) against 2·col_chunk·W·2B ≈ 4 MB of streamed MLP weights
 per grid step (~5 µs at HBM bandwidth), so the DMA pipeline hides the
 weight traffic completely. T=512 overflows the 16 MB scoped-VMEM stack on
-v5e (the [T, W] fp32 intermediates dominate); measured on chip: tile 256 /
-col_chunk 1024 → 0.541 MFU vs 0.26 for the stock-XLA path (2.1×).
+v5e (the [T, W] fp32 intermediates dominate), and col_chunk 1024 overflows
+it when the kernel is embedded in the full decode program (XLA parks small
+neighbors in VMEM, shrinking the scoped budget) — so tile 256 / col_chunk
+512: 0.53 MFU measured vs 0.26 for the stock-XLA path (2×).
 
 The full v2-0 VAE (3072 latents) keeps the pruned top-k path
 (models/shapevae.decode_queries_pruned) — its K/V alone would not fit VMEM.
@@ -168,7 +170,7 @@ def _prep(g, cfg):
 @functools.partial(jax.jit, static_argnames=("cfg", "tile", "col_chunk",
                                              "interpret"))
 def fused_geo_decode(params, cfg, queries: Array, kv, tile: int = 256,
-                     col_chunk: int = 1024,
+                     col_chunk: int = 512,
                      interpret: bool | None = None) -> Array:
     """queries [B, P, 3] + kv ([B, H, L, D] each, k pre-normed) → [B, P] f32
     occupancy logits. Numerically equivalent to models/shapevae.decode_queries
