@@ -476,3 +476,99 @@ def apply(params, cfg: PaintUNetConfig, sample: Array, timestep: Array,
     out = unet_apply(params, cfg, x, t, ctx_gen, labels, "r", n_gen, cache,
                      rs, mva_scale, mva_masks)
     return out.reshape(b, n_gen, *out.shape[1:]), cache
+
+
+# ---------------------------------------------------------------------------
+# analytic FLOPs (bench MFU accounting)
+# ---------------------------------------------------------------------------
+def flops(cfg: PaintUNetConfig, h: int, w: int, num_views: int = 6,
+          num_ref: int = 1, batch: int = 1, mode: str = "r") -> float:
+    """Analytic matmul/conv FLOPs for ONE ``unet_apply`` over
+    ``batch * num_views`` samples at latent resolution (h, w).
+
+    Mirrors the init()/unet_apply() walk exactly (same block loops, same
+    resolution halving/doubling, same 2.5D attention placement), counting
+    2·k²·c_in·c_out·pixels per conv and 4·T·S·d per attention — elementwise
+    and normalization work (<1%) is excluded. Used by bench.py because JAX
+    0.9's un-compiled ``lower().cost_analysis()`` returns None and a compiled
+    cost analysis would require compiling the full-size UNet just for the
+    metric. Validated against XLA's compiled cost model in
+    tests/test_flops.py."""
+    BN = batch * num_views
+    ted = cfg.time_embed_dim
+
+    def conv(cin, cout, k, pix):
+        return 2.0 * k * k * cin * cout * pix * BN
+
+    def lin(cin, cout, tokens_total):
+        return 2.0 * cin * cout * tokens_total
+
+    def res(cin, cout, pix):
+        r = conv(cin, cout, 3, pix) + conv(cout, cout, 3, pix)
+        r += lin(ted, cout, BN)                      # time_emb_proj
+        if cin != cout:
+            r += conv(cin, cout, 1, pix)
+        return r
+
+    def t2d(ch, hh, ww):
+        T = hh * ww
+        tt = T * BN
+        x = 2 * lin(ch, ch, tt)                      # proj_in/proj_out
+        x += 4 * lin(ch, ch, tt) + 4.0 * T * T * ch * BN          # attn1
+        x += 2 * lin(ch, ch, tt)                     # attn2 q + out
+        x += 2 * lin(cfg.cross_attention_dim, ch, 77 * BN)        # attn2 k,v
+        x += 4.0 * T * 77 * ch * BN
+        if mode == "r" and cfg.use_reference_attention:
+            S = num_ref * T
+            x += 2 * lin(ch, ch, tt) + 2 * lin(ch, ch, S * BN)
+            x += 4.0 * T * S * ch * BN
+        if mode == "r" and cfg.use_multiview_attention and num_views > 1:
+            L = num_views * T
+            x += 4 * lin(ch, ch, L * batch) + 4.0 * L * L * ch * batch
+        x += lin(ch, 8 * ch, tt) + lin(4 * ch, ch, tt)            # GEGLU ff
+        return x
+
+    chs = cfg.block_out_channels
+    n = len(chs)
+    hh, ww = h, w
+    f = conv(cfg.in_channels, chs[0], 3, hh * ww)
+    f += lin(chs[0], ted, BN) + lin(ted, ted, BN)    # time MLP
+    c_in = chs[0]
+    for i, c_out in enumerate(chs):
+        for j in range(cfg.layers_per_block):
+            f += res(c_in if j == 0 else c_out, c_out, hh * ww)
+            if cfg.is_cross(i, down=True):
+                f += t2d(c_out, hh, ww)
+        if i < n - 1:
+            hh, ww = hh // 2, ww // 2
+            f += conv(c_out, c_out, 3, hh * ww)      # stride-2 downsample
+        c_in = c_out
+
+    f += 2 * res(chs[-1], chs[-1], hh * ww) + t2d(chs[-1], hh, ww)
+
+    rev = list(reversed(chs))
+    for i, c_out in enumerate(rev):
+        prev = rev[max(i - 1, 0)]
+        skip_src = rev[min(i + 1, n - 1)]
+        for j in range(cfg.layers_per_block + 1):
+            res_skip = prev if j == 0 else c_out
+            skip_ch = c_out if j < cfg.layers_per_block else skip_src
+            f += res(res_skip + skip_ch, c_out, hh * ww)
+            if cfg.is_cross(i, down=False):
+                f += t2d(c_out, hh, ww)
+        if i < n - 1:
+            hh, ww = hh * 2, ww * 2
+            f += conv(c_out, c_out, 3, hh * ww)      # post-upsample conv
+    f += conv(chs[0], cfg.out_channels, 3, hh * ww)
+    return f
+
+
+def apply_flops(cfg: PaintUNetConfig, h: int, w: int, num_views: int = 6,
+                num_ref: int = 1, batch: int = 1):
+    """(per-step 'r' FLOPs, one-time 'w' cache-build FLOPs) for apply()."""
+    r = flops(cfg, h, w, num_views, num_ref, batch, mode="r")
+    b = 0.0
+    if cfg.use_reference_attention:
+        dcfg = dual_config(cfg) if cfg.use_dual_stream else cfg
+        b = flops(dcfg, h, w, num_ref, num_ref, batch, mode="w")
+    return r, b
