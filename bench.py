@@ -577,6 +577,11 @@ def single_pass_stage(paint, image):
     pipe = Hunyuan3DDiTFlowMatchingPipeline.init_random(
         jax.random.PRNGKey(0), size=SHAPE_SIZE, dino=DINO)
     pipe.enable_flashvdm(True, mc_algo="dmc")
+    # random weights decode a noise SDF with ~99% of cells active; cap at
+    # the decoder's 6R² budget (the record's stated semantics) instead of
+    # falling through to the exact-but-dense 385³ host path, which spends
+    # minutes meshing throwaway noise (r4 first run: 125 s shape stage)
+    os.environ["HY3D_CAP_ACTIVES"] = "1"
     log(f"single-pass: shape stack up at t={time.perf_counter() - T0:.1f}s")
 
     t0 = time.perf_counter()

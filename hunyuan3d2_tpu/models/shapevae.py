@@ -520,6 +520,20 @@ class ShapeVAE:
                 dec.coarse_factor, "actives",
                 getattr(dec, "topk_mode", "mean"))
             count = int(count)
+            if (count > cell_flat.shape[0]
+                    and os.environ.get("HY3D_CAP_ACTIVES", "0") == "1"):
+                # opt-in bounded mode: keep the first `capacity` active
+                # cells (holey mesh) instead of the exact-but-dense
+                # fallback. Real checkpoints never overflow the 6R² budget
+                # (surfaces are O(R²)); this exists for adversarial SDFs —
+                # random-weight noise decodes ~99% of cells active, where
+                # the dense 385³ path costs minutes for a throwaway mesh.
+                from hunyuan3d2_tpu.utils.logger import get_logger
+
+                get_logger().warning(
+                    "active cells %d > capacity %d: capping (HY3D_CAP_ACTIVES)",
+                    count, cell_flat.shape[0])
+                count = cell_flat.shape[0]
             if count <= cell_flat.shape[0]:
                 out = self.surface_extractor.from_actives(
                     cell_flat, vals, count, octree_resolution + 1,
