@@ -65,3 +65,29 @@ def test_flashvdm_decoder_runs():
     center = out[0, res // 2, res // 2, :]
     inside = lin[center > 0]
     assert 0.5 < np.abs(inside).max() < 0.7
+
+
+def test_capped_actives_opt_in(monkeypatch):
+    """HY3D_CAP_ACTIVES=1: active-cell overflow produces a bounded (holey)
+    mesh from the first `capacity` cells instead of falling through to the
+    exact dense path — the bench single-pass semantics (noise SDFs decode
+    ~99% of cells active; the dense 385³ host mesh costs minutes)."""
+    import jax
+
+    from hunyuan3d2_tpu.models import shapevae as sv
+    from hunyuan3d2_tpu.pipelines.shapegen import Hunyuan3DDiTFlowMatchingPipeline
+
+    pipe = Hunyuan3DDiTFlowMatchingPipeline.init_random(
+        jax.random.PRNGKey(0), size="tiny", dino="tiny")
+    pipe.enable_flashvdm(True, mc_algo="dmc")
+    # shrink the static budget so a plain sphere SDF overflows it
+    monkeypatch.setattr(sv, "active_capacity", lambda R: 64)
+    monkeypatch.setenv("HY3D_CAP_ACTIVES", "1")
+    lat = jax.random.normal(jax.random.PRNGKey(1),
+                            (1, 16, pipe.vae.cfg.embed_dim))
+    out = pipe.vae.latents2mesh(lat, octree_resolution=32, num_chunks=32768,
+                                mc_algo="dmc")[0]
+    # capped: at most one vertex per kept active cell, and a real mesh comes
+    # back without the dense fallback (which would exceed 64 vertices)
+    if out is not None:
+        assert len(out.mesh_v) <= 64
