@@ -592,6 +592,12 @@ def single_pass_stage(paint, image):
         mesh = mesh[0]
     assert mesh is not None, "single-pass decode produced no mesh"
     t_shape = time.perf_counter() - t0
+    from hunyuan3d2_tpu.utils.timer import LAST_TIMINGS
+
+    log("single-pass shape scopes: " + ", ".join(
+        f"{k}={v:.2f}s" for k, v in LAST_TIMINGS.items()
+        if k in ("Preprocess", "Encode Cond", "Diffusion Sampling",
+                 "Volume Decoding")))
     m = FloaterRemover()(mesh)
     m = DegenerateFaceRemover()(m)
     m = FaceReducer()(m, max_facenum=40000)

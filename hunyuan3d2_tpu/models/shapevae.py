@@ -503,10 +503,30 @@ class ShapeVAE:
                     num_chunks, box_v, mc_level, dec.block, dec.capacity_frac,
                     dec.coarse_factor, "mesh",
                     getattr(dec, "topk_mode", "mean"))
-                if bool(ok):
+                nq, count = int(nq), int(count)
+                capped = (not bool(ok)
+                          and os.environ.get("HY3D_CAP_ACTIVES", "0") == "1")
+                if capped:
+                    # opt-in bounded mode: the fused emission's compactions
+                    # are stable truncations (compact_rows keeps the FIRST
+                    # `capacity` cells / `face_capacity` quads in order, and
+                    # quads referencing dropped cells are masked out), so the
+                    # overflowed buffers ARE the capped mesh — no second
+                    # decode, no host assembly. Real checkpoints never
+                    # overflow the 6R² budget; this exists for adversarial
+                    # SDFs (random-weight noise decodes ~99% of cells
+                    # active, where the dense 385³ host path costs minutes).
+                    from hunyuan3d2_tpu.utils.logger import get_logger
+
+                    get_logger().warning(
+                        "surface overflow (%d actives / %d quads): capping "
+                        "to device buffers %d/%d (HY3D_CAP_ACTIVES)",
+                        count, nq, verts.shape[0], quads.shape[0])
+                    count = min(count, int(verts.shape[0]))
+                    nq = min(nq, int(quads.shape[0]))
+                if bool(ok) or capped:
                     from hunyuan3d2_tpu.volume.surface import Latent2MeshOutput
 
-                    nq, count = int(nq), int(count)
                     # bucketed transfers: each distinct slice length is a
                     # separate compiled program through the device tunnel
                     v = decoders.bucket_slice(verts, count).astype(np.float32)

@@ -91,3 +91,9 @@ def test_capped_actives_opt_in(monkeypatch):
     # back without the dense fallback (which would exceed 64 vertices)
     if out is not None:
         assert len(out.mesh_v) <= 64
+        # the truncated device buffers must still be a consistent mesh:
+        # every face references a kept vertex (quads touching dropped
+        # cells are masked out by the emission, not clamped)
+        if len(out.mesh_f):
+            assert out.mesh_f.min() >= 0
+            assert out.mesh_f.max() < len(out.mesh_v)
