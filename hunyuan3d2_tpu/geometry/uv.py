@@ -53,9 +53,6 @@ def _face_components_in_bucket(faces: np.ndarray, bucket: np.ndarray,
                                n_vertices: int) -> np.ndarray:
     """Union-find over faces; union only across edges whose two faces share
     the same bucket. Returns per-face chart id."""
-    import scipy.sparse
-    import scipy.sparse.csgraph
-
     nf = len(faces)
     edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
     edges = np.sort(edges, axis=1)
@@ -68,9 +65,30 @@ def _face_components_in_bucket(faces: np.ndarray, bucket: np.ndarray,
     fa, fb = face_s[:-1][same], face_s[1:][same]
     keep = bucket[fa] == bucket[fb]
     fa, fb = fa[keep], fb[keep]
-    g = scipy.sparse.coo_matrix(
-        (np.ones(len(fa), np.int8), (fa, fb)), shape=(nf, nf))
-    _, labels = scipy.sparse.csgraph.connected_components(g, directed=False)
+    if nf < 2048:
+        # small charts (the injectivity fixpoint's split path calls this
+        # once per offending chart): a python union-find on ≤3·nf edges
+        # beats scipy's csr validation + csgraph call by ~30×
+        parent = list(range(nf))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(fa.tolist(), fb.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        labels = np.fromiter((find(i) for i in range(nf)), np.int64, nf)
+    else:
+        import scipy.sparse
+        import scipy.sparse.csgraph
+
+        g = scipy.sparse.coo_matrix(
+            (np.ones(len(fa), np.int8), (fa, fb)), shape=(nf, nf))
+        _, labels = scipy.sparse.csgraph.connected_components(g, directed=False)
     # relabel in root-sorted order for a stable, deterministic id space
     _, chart = np.unique(labels, return_inverse=True)
     return chart
@@ -290,13 +308,26 @@ def _smooth_chart_boundaries(fn: np.ndarray, chart: np.ndarray,
 
 
 def _chart_basis(normal: np.ndarray):
-    """Right-handed in-plane (u, v) basis orthogonal to ``normal``."""
-    up = np.zeros(3)
-    up[np.argmin(np.abs(normal))] = 1.0
-    u = np.cross(up, normal)
-    u /= max(np.linalg.norm(u), 1e-12)
-    w = np.cross(normal, u)
-    return u, w
+    """Right-handed in-plane (u, v) basis orthogonal to ``normal``.
+    Scalar arithmetic: np.cross/norm on single 3-vectors cost ~100 µs of
+    dispatch overhead and this runs once per chart (thousands of times on
+    fragmented meshes)."""
+    nx, ny, nz = float(normal[0]), float(normal[1]), float(normal[2])
+    ax, ay, az = abs(nx), abs(ny), abs(nz)
+    # up = e_k for the smallest |normal| component; u = up × normal
+    if ax <= ay and ax <= az:
+        ux, uy, uz = 0.0, -nz, ny
+    elif ay <= az:
+        ux, uy, uz = nz, 0.0, -nx
+    else:
+        ux, uy, uz = -ny, nx, 0.0
+    ln = max((ux * ux + uy * uy + uz * uz) ** 0.5, 1e-12)
+    ux, uy, uz = ux / ln, uy / ln, uz / ln
+    wx = ny * uz - nz * uy
+    wy = nz * ux - nx * uz
+    wz = nx * uy - ny * ux
+    return (np.array([ux, uy, uz], np.float64),
+            np.array([wx, wy, wz], np.float64))
 
 
 def _chart_overlap_ratio(uv: np.ndarray, tris: np.ndarray, res: int = 128):
@@ -306,6 +337,36 @@ def _chart_overlap_ratio(uv: np.ndarray, tris: np.ndarray, res: int = 128):
     lo = uv.min(0)
     span = max(float((uv.max(0) - lo).max()), 1e-12)
     q = (uv - lo) / span  # [0,1]²
+    if len(tris) <= 8:
+        # tiny charts (fragmented meshes produce thousands): a vectorized
+        # point-in-triangle coverage on a 64² grid beats the native
+        # rasterizer's per-call dispatch overhead ~5×. Restricted to ≤8
+        # triangles: larger charts can be thin (bevel rings) where the
+        # coarse grid under-counts coverage and over-triggers splitting
+        g = (np.arange(64, dtype=np.float32) + 0.5) / 64.0
+        px = np.repeat(g, 64)
+        py = np.tile(g, 64)
+        a = q[tris[:, 0]].astype(np.float32)
+        b = q[tris[:, 1]].astype(np.float32)
+        c = q[tris[:, 2]].astype(np.float32)
+
+        def edge(p0, p1):
+            return ((p1[:, None, 0] - p0[:, None, 0])
+                    * (py[None] - p0[:, None, 1])
+                    - (p1[:, None, 1] - p0[:, None, 1])
+                    * (px[None] - p0[:, None, 0]))
+
+        e0, e1, e2 = edge(a, b), edge(b, c), edge(c, a)
+        inside = (((e0 >= 0) & (e1 >= 0) & (e2 >= 0))
+                  | ((e0 <= 0) & (e1 <= 0) & (e2 <= 0)))
+        covered = float(inside.any(0).mean())
+        ab = q[tris[:, 1]] - q[tris[:, 0]]
+        ac = q[tris[:, 2]] - q[tris[:, 0]]
+        tri_area = float(np.abs(ab[:, 0] * ac[:, 1]
+                                - ab[:, 1] * ac[:, 0]).sum() / 2)
+        if covered <= 0:
+            return 1.0
+        return tri_area / covered
     clip = np.concatenate([(q * 2 - 1).astype(np.float32),
                            np.zeros((len(q), 1), np.float32),
                            np.ones((len(q), 1), np.float32)], axis=1)
@@ -334,28 +395,33 @@ def _merge_charts(fn: np.ndarray, areas: np.ndarray, f: np.ndarray,
     from the seam set. Smallest charts are merged first."""
     cos_lim = np.cos(np.radians(max_angle_deg))
     n_charts = int(chart.max()) + 1
-    members = [[] for _ in range(n_charts)]
-    for i, c in enumerate(chart):
-        members[c].append(i)
+    # members via one argsort (the python append loop is O(F) dict ops)
+    order = np.argsort(chart, kind="stable")
+    bounds = np.searchsorted(chart[order], np.arange(n_charts + 1))
+    members = [order[bounds[c]:bounds[c + 1]].tolist()
+               for c in range(n_charts)]
     normals = np.zeros((n_charts, 3))
     np.add.at(normals, chart, fn * areas[:, None])
     carea = np.zeros(n_charts)
     np.add.at(carea, chart, areas)
-    # chart adjacency from face adjacency
+    # chart adjacency from face adjacency (vectorized pair extraction)
     adj = [set() for _ in range(n_charts)]
-    for i in range(len(f)):
-        ci = chart[i]
-        for nb in nbr[i]:
-            if nb >= 0 and chart[nb] != ci:
-                adj[ci].add(int(chart[nb]))
-                adj[chart[nb]].add(int(ci))
+    fi = np.repeat(np.arange(len(f)), 3)
+    nbf = nbr.ravel()
+    valid = nbf >= 0
+    ca, cb = chart[fi[valid]], chart[nbf[valid]]
+    differ = ca != cb
+    for a, b in np.unique(np.stack([ca[differ], cb[differ]], 1),
+                          axis=0).tolist():
+        adj[a].add(b)
+        adj[b].add(a)
     alive = np.ones(n_charts, bool)
     changed = True
     while changed:
         changed = False
         order = sorted(np.nonzero(alive)[0], key=lambda c: carea[c])
         for c in order:
-            if not alive[c]:
+            if not alive[c] or not adj[c]:
                 continue
             best, best_fit = -1, -1.0
             nc = normals[c] / max(np.linalg.norm(normals[c]), 1e-12)
@@ -410,21 +476,38 @@ def _absorb_small_charts(f: np.ndarray, chart: np.ndarray, nbr: np.ndarray,
         if len(small) == 0:
             break
         small_set = set(int(s) for s in small)
+        # group faces by chart once per sweep (argsort) — per-chart
+        # `chart == c` scans are O(F·n_small), which dominated fragmented
+        # meshes (thousands of sliver charts). Absorptions INTO a pending
+        # small chart append to its group so sweep-internal chains still
+        # accrete into one band (the bevel-ring case) exactly like the
+        # original live re-scan did
+        order = np.argsort(chart, kind="stable")
+        bounds = np.searchsorted(chart[order], np.arange(len(sizes) + 1))
+        groups = {int(c): [order[bounds[c]:bounds[c + 1]]] for c in small}
         moved = False
-        for c in small:
-            sel = np.nonzero(chart == c)[0]
+        for c in small.tolist():
+            parts = groups.pop(c, None)
+            if not parts:
+                continue
+            sel = parts[0] if len(parts) == 1 else np.concatenate(parts)
             if len(sel) == 0:
                 continue
-            votes = {}
-            for i in sel:
-                for nb in nbr[i]:
-                    if nb >= 0 and chart[nb] != c:
-                        votes[int(chart[nb])] = votes.get(int(chart[nb]), 0) + 1
-            if not votes:
+            nb = nbr[sel].ravel()
+            nb = nb[nb >= 0]
+            ncharts = chart[nb]
+            ncharts = ncharts[ncharts != c]
+            if len(ncharts) == 0:
                 continue  # isolated component: keep as its own chart
+            cids, counts = np.unique(ncharts, return_counts=True)
             # prefer big neighbors; among them, the longest shared boundary
-            best = max(votes, key=lambda d: (d not in small_set, votes[d]))
+            is_big = np.fromiter((int(d) not in small_set for d in cids),
+                                 np.int64, len(cids))
+            score = is_big * (int(counts.max()) + 1) + counts
+            best = int(cids[int(np.argmax(score))])
             chart[sel] = best
+            if best in groups:
+                groups[best].append(sel)
             moved = True
         if not moved:
             break
@@ -648,6 +731,59 @@ def _coalesce_split(f_sel: np.ndarray, sub: np.ndarray, sel: np.ndarray,
     return _absorb_small_charts(f_sel, sub, local_nbr, min_faces)
 
 
+def _tiny_planar_param(sel, vl, fl, fnl, areal):
+    """Pure-python planar parameterization of a 1-2 face chart — identical
+    math to the numpy branch in _parameterize_charts (area-weighted normal →
+    _chart_basis projection → 3D-area scale normalization), without its ~15
+    per-chart numpy dispatches."""
+    from math import sqrt
+
+    nx = ny = nz = 0.0
+    a3 = 0.0
+    for s in sel:
+        a = areal[s]
+        gx, gy, gz = fnl[s]
+        nx += gx * a
+        ny += gy * a
+        nz += gz * a
+        a3 += a
+    ln = max(sqrt(nx * nx + ny * ny + nz * nz), 1e-12)
+    nx, ny, nz = nx / ln, ny / ln, nz / ln
+    ax, ay, az = abs(nx), abs(ny), abs(nz)
+    if ax <= ay and ax <= az:
+        ux, uy, uz = 0.0, -nz, ny
+    elif ay <= az:
+        ux, uy, uz = nz, 0.0, -nx
+    else:
+        ux, uy, uz = -ny, nx, 0.0
+    ul = max(sqrt(ux * ux + uy * uy + uz * uz), 1e-12)
+    ux, uy, uz = ux / ul, uy / ul, uz / ul
+    wx = ny * uz - nz * uy
+    wy = nz * ux - nx * uz
+    wz = nx * uy - ny * ux
+
+    vid = sorted({k for s in sel for k in fl[s]})
+    row = {g: i for i, g in enumerate(vid)}
+    uvc = []
+    for g in vid:
+        px, py, pz = vl[g]
+        uvc.append([px * ux + py * uy + pz * uz,
+                    px * wx + py * wy + pz * wz])
+    auv = 0.0
+    for s in sel:
+        i0, i1, i2 = (row[k] for k in fl[s])
+        e1u = uvc[i1][0] - uvc[i0][0]
+        e1v = uvc[i1][1] - uvc[i0][1]
+        e2u = uvc[i2][0] - uvc[i0][0]
+        e2v = uvc[i2][1] - uvc[i0][1]
+        auv += abs(e1u * e2v - e1v * e2u)
+    auv *= 0.5
+    uv = np.asarray(uvc, np.float64)
+    if auv > 1e-14:
+        uv = uv * sqrt(a3 / auv)
+    return np.asarray(vid, np.int64), uv
+
+
 def _parameterize_charts(v: np.ndarray, f: np.ndarray, fn: np.ndarray,
                          chart: np.ndarray, min_lscm_faces: int = 20,
                          thresh: float = 1.12, nbr_g: np.ndarray = None):
@@ -663,13 +799,27 @@ def _parameterize_charts(v: np.ndarray, f: np.ndarray, fn: np.ndarray,
     fa = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
     areas = np.linalg.norm(fa, axis=1) * 0.5
     centroids = (v[f[:, 0]] + v[f[:, 1]] + v[f[:, 2]]) / 3.0
-    queue = list(range(int(chart.max()) + 1))
-    next_id = int(chart.max()) + 1
+    # group faces by chart ONCE (argsort) and carry each chart's face-index
+    # array through the queue — per-pop `chart == c` scans are O(F·n_charts),
+    # which dominated fragmented meshes (thousands of 1-4 face charts)
+    n0 = int(chart.max()) + 1
+    order_ = np.argsort(chart, kind="stable")
+    bounds_ = np.searchsorted(chart[order_], np.arange(n0 + 1))
+    queue = [(c, order_[bounds_[c]:bounds_[c + 1]]) for c in range(n0)]
+    next_id = n0
     params = {}
+    # pure-python fast path for 1-2 face charts (accepted unconditionally,
+    # planar projection): fragmented meshes produce thousands, and ~15 numpy
+    # dispatches per chart cost more than the arithmetic by ~50×
+    _lists = None
     while queue:
-        c = queue.pop()
-        sel = np.nonzero(chart == c)[0]
+        c, sel = queue.pop()
         if len(sel) == 0:
+            continue
+        if len(sel) <= 2:
+            if _lists is None:
+                _lists = (v.tolist(), f.tolist(), fn.tolist(), areas.tolist())
+            params[c] = _tiny_planar_param(sel.tolist(), *_lists)
             continue
         tris = f[sel]
         vid, local = np.unique(tris.reshape(-1), return_inverse=True)
@@ -702,11 +852,17 @@ def _parameterize_charts(v: np.ndarray, f: np.ndarray, fn: np.ndarray,
             params[c] = (vid, uvc)
             continue
         # split the chart and requeue the pieces (tiny shards of the split
-        # are coalesced into their larger siblings first)
-        bucket = np.argmax(fn[sel] @ _AXES.T, axis=1)
-        sub = _face_components_in_bucket(tris, bucket, len(v))
-        if sub.max() > 0:
-            sub = _coalesce_split(tris, sub, sel, nbr_g)
+        # are coalesced into their larger siblings first). For charts of
+        # ≤ the coalescer's min_faces the bucket split is a guaranteed
+        # no-op (every piece would be absorbed back), so skip straight to
+        # the median split — fragmented meshes hit this thousands of times
+        if len(sel) > 12:
+            bucket = np.argmax(fn[sel] @ _AXES.T, axis=1)
+            sub = _face_components_in_bucket(tris, bucket, len(v))
+            if sub.max() > 0:
+                sub = _coalesce_split(tris, sub, sel, nbr_g)
+        else:
+            sub = np.zeros(len(sel), np.int64)
         if sub.max() == 0:
             cen = centroids[sel]
             axis = np.argmax(cen.max(0) - cen.min(0))
@@ -716,60 +872,12 @@ def _parameterize_charts(v: np.ndarray, f: np.ndarray, fn: np.ndarray,
                 params[c] = (vid, uvc)
                 continue
         for s_ in range(1, int(sub.max()) + 1):
-            chart[sel[sub == s_]] = next_id
-            queue.append(next_id)
+            sel_s = sel[sub == s_]
+            chart[sel_s] = next_id
+            queue.append((next_id, sel_s))
             next_id += 1
-        queue.append(c)
+        queue.append((c, sel[sub == 0]))
     return chart, params
-
-
-def _resplit_overlapping_charts(v: np.ndarray, f: np.ndarray, fn: np.ndarray,
-                                chart: np.ndarray, nbr: np.ndarray,
-                                thresh: float = 1.12) -> np.ndarray:
-    """Injectivity guard: grown charts are cone-limited, but a cone does not
-    forbid a spiral-ramp chart whose projection self-overlaps. Detect
-    overlap by area ratio (Σ triangle areas / rasterized union area) and
-    re-split offending charts — first by 6-axis bucketing (connected
-    components), then, if a piece still overlaps and cannot be split
-    further, by the spatial median of face centroids. Terminates: every
-    split strictly reduces chart size; single faces are injective."""
-    chart = chart.copy()
-    fa = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
-    areas = np.linalg.norm(fa, axis=1) * 0.5
-    centroids = (v[f[:, 0]] + v[f[:, 1]] + v[f[:, 2]]) / 3.0
-    queue = list(range(int(chart.max()) + 1))
-    next_id = int(chart.max()) + 1
-    while queue:
-        c = queue.pop()
-        sel = np.nonzero(chart == c)[0]
-        if len(sel) <= 2:
-            continue
-        tris = f[sel]
-        vid, local = np.unique(tris.reshape(-1), return_inverse=True)
-        local_tris = local.reshape(-1, 3).astype(np.int64)
-        n_c = (fn[sel] * areas[sel, None]).sum(0)
-        n_c /= max(np.linalg.norm(n_c), 1e-12)
-        bu, bw = _chart_basis(n_c)
-        uvc = np.stack([v[vid] @ bu, v[vid] @ bw], axis=1)
-        if _chart_overlap_ratio(uvc, local_tris) <= thresh:
-            continue
-        bucket = np.argmax(fn[sel] @ _AXES.T, axis=1)
-        sub = _face_components_in_bucket(tris, bucket, len(v))
-        if sub.max() == 0:
-            # axis split failed (single component): spatial median split
-            cen = centroids[sel]
-            axis = np.argmax(cen.max(0) - cen.min(0))
-            sub = (cen[:, axis] > np.median(cen[:, axis])).astype(np.int64)
-            if sub.max() == 0 or sub.min() == 1:
-                continue  # degenerate: give up on this chart
-        for s in range(1, int(sub.max()) + 1):
-            chart[sel[sub == s]] = next_id
-            queue.append(next_id)
-            next_id += 1
-        queue.append(c)  # re-check the remaining (sub == 0) piece
-    # compact ids
-    _, chart = np.unique(chart, return_inverse=True)
-    return chart
 
 
 def unwrap(vertices: np.ndarray, faces: np.ndarray, margin: float = 0.004,
@@ -814,23 +922,24 @@ def unwrap(vertices: np.ndarray, faces: np.ndarray, margin: float = 0.004,
     src_chart = (uniq_pair % n_charts).astype(np.int64)
     new_vertices = v[src_vertex]
 
+    # group split vertices by chart once (argsort): per-chart boolean masks
+    # are O(N·n_charts), which dominated fragmented meshes
     uv2 = np.zeros((len(new_vertices), 2), np.float64)
+    sizes = np.zeros((n_charts, 2))
+    mins = np.zeros((n_charts, 2))
+    gorder = np.argsort(src_chart, kind="stable")
+    gbounds = np.searchsorted(src_chart[gorder], np.arange(n_charts + 1))
     for c in range(n_charts):
-        sel = src_chart == c
-        if not sel.any():
+        sel = gorder[gbounds[c]:gbounds[c + 1]]
+        if len(sel) == 0:
             continue
         vid, uvc = params[c]
         # map the split vertices' source ids into the chart's local rows
         loc = np.searchsorted(vid, src_vertex[sel])
-        uv2[sel] = uvc[loc]
-
-    # normalize per chart, collect sizes
-    sizes = np.zeros((n_charts, 2))
-    mins = np.zeros((n_charts, 2))
-    for c in range(n_charts):
-        sel = src_chart == c
-        lo = uv2[sel].min(0)
-        hi = uv2[sel].max(0)
+        u = uvc[loc]
+        uv2[sel] = u
+        lo = u.min(0)
+        hi = u.max(0)
         mins[c] = lo
         sizes[c] = np.maximum(hi - lo, 1e-9)
 
