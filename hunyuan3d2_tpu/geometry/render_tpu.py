@@ -94,23 +94,49 @@ class BakeMeshDev(NamedTuple):
     uv: Array | None  # [V,2] float32 (V-flipped render convention) or None
 
 
+MESH_BUCKET = 4096
+
+
+def _pad_rows(a: np.ndarray, mult: int) -> np.ndarray:
+    """Zero-pad rows to a multiple of ``mult`` (host-side numpy)."""
+    pad = (-len(a)) % mult
+    if pad == 0:
+        return a
+    return np.concatenate(
+        [a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+
+
 def upload_mesh(render, need_uv: bool = False) -> BakeMeshDev | None:
     """Build a device mesh from a loaded MeshRender. Returns None when
     need_uv and the mesh has no shared-vertex UVs (per-corner UVs need the
     host back_project fallback); without UVs the mesh still supports the
-    device cond-map renders."""
+    device cond-map renders.
+
+    Vertex/face counts are BUCKETED (zero-padded to MESH_BUCKET multiples):
+    the raster/bake programs are compiled per (V, F) shape, so without
+    bucketing every new mesh recompiles the whole stack (~50 s through the
+    remote-compile tunnel, measured: cond maps 15.7 s + bake geometry
+    33.5 s per fresh shape) — serving latency would be compile-bound.
+    Padding faces are [0,0,0] triples: zero screen area, so the rasterizer
+    culls them before binning, and their cross products are exactly zero so
+    no interpolated quantity changes."""
     uv = None
     if render.vtx_uv is not None:
         same_idx = render.uv_idx is render.pos_idx or np.array_equal(
             render.uv_idx, render.pos_idx)
         if same_idx:
-            uv = jnp.asarray(render.vtx_uv)
+            uv = jnp.asarray(_pad_rows(
+                np.asarray(render.vtx_uv, np.float32), MESH_BUCKET))
     if need_uv and uv is None:
         return None
     vn = render._vertex_normals()
     return BakeMeshDev(
-        jnp.asarray(render.vtx_pos), jnp.asarray(render.pos_idx),
-        jnp.asarray(vn), uv)
+        jnp.asarray(_pad_rows(np.asarray(render.vtx_pos, np.float32),
+                              MESH_BUCKET)),
+        jnp.asarray(_pad_rows(np.asarray(render.pos_idx, np.int32),
+                              MESH_BUCKET)),
+        jnp.asarray(_pad_rows(np.asarray(vn, np.float32), MESH_BUCKET)),
+        uv)
 
 
 @functools.partial(jax.jit, static_argnames=("res", "normalize_rgb"))
