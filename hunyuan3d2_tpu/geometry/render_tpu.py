@@ -97,13 +97,14 @@ class BakeMeshDev(NamedTuple):
 MESH_BUCKET = 4096
 
 
-def _pad_rows(a: np.ndarray, mult: int) -> np.ndarray:
-    """Zero-pad rows to a multiple of ``mult`` (host-side numpy)."""
-    pad = (-len(a)) % mult
-    if pad == 0:
+def _pad_rows(a: np.ndarray, mult: int, target: int = 0) -> np.ndarray:
+    """Zero-pad rows to a multiple of ``mult`` (or to exactly ``target``
+    rows when given). Host-side numpy."""
+    n = max(-(-len(a) // mult) * mult, target)
+    if n == len(a):
         return a
     return np.concatenate(
-        [a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+        [a, np.zeros((n - len(a),) + a.shape[1:], a.dtype)], axis=0)
 
 
 def upload_mesh(render, need_uv: bool = False) -> BakeMeshDev | None:
@@ -119,24 +120,34 @@ def upload_mesh(render, need_uv: bool = False) -> BakeMeshDev | None:
     33.5 s per fresh shape) — serving latency would be compile-bound.
     Padding faces are [0,0,0] triples: zero screen area, so the rasterizer
     culls them before binning, and their cross products are exactly zero so
-    no interpolated quantity changes."""
+    no interpolated quantity changes.
+
+    UV-wrapped meshes (the bake path) additionally pad the vertex side to
+    exactly 3×F_padded: chart splitting makes the split-vertex count vary
+    wildly per mesh (a fragmented mesh approaches the 3F worst case, a
+    smooth one ~F/2), and bucketing alone still produced a fresh
+    bake-program compile per mesh (~31 s measured). V ≤ 3F always holds, so
+    pinning V to the face bucket gives ONE bake program per face budget at
+    the cost of transforming padded vertices (~1.5 MB, negligible)."""
+    faces = _pad_rows(np.asarray(render.pos_idx, np.int32), MESH_BUCKET)
     uv = None
     if render.vtx_uv is not None:
         same_idx = render.uv_idx is render.pos_idx or np.array_equal(
             render.uv_idx, render.pos_idx)
         if same_idx:
-            uv = jnp.asarray(_pad_rows(
-                np.asarray(render.vtx_uv, np.float32), MESH_BUCKET))
+            uv = np.asarray(render.vtx_uv, np.float32)
     if need_uv and uv is None:
         return None
+    v_target = 3 * len(faces) if uv is not None else 0
     vn = render._vertex_normals()
     return BakeMeshDev(
         jnp.asarray(_pad_rows(np.asarray(render.vtx_pos, np.float32),
-                              MESH_BUCKET)),
-        jnp.asarray(_pad_rows(np.asarray(render.pos_idx, np.int32),
-                              MESH_BUCKET)),
-        jnp.asarray(_pad_rows(np.asarray(vn, np.float32), MESH_BUCKET)),
-        uv)
+                              MESH_BUCKET, v_target)),
+        jnp.asarray(faces),
+        jnp.asarray(_pad_rows(np.asarray(vn, np.float32), MESH_BUCKET,
+                              v_target)),
+        jnp.asarray(_pad_rows(uv, MESH_BUCKET, v_target))
+        if uv is not None else None)
 
 
 @functools.partial(jax.jit, static_argnames=("res", "normalize_rgb"))
