@@ -27,6 +27,8 @@ the paint pipeline's bake/inpaint requires.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from hunyuan3d2_tpu.geometry.mesh import Mesh
@@ -416,6 +418,9 @@ def _merge_charts(fn: np.ndarray, areas: np.ndarray, f: np.ndarray,
         adj[a].add(b)
         adj[b].add(a)
     alive = np.ones(n_charts, bool)
+    # cached normal magnitudes: np.linalg.norm per neighbor pair dominated
+    # this loop on many-chart meshes
+    nmag = np.maximum(np.linalg.norm(normals, axis=1), 1e-12)
     changed = True
     while changed:
         changed = False
@@ -424,12 +429,11 @@ def _merge_charts(fn: np.ndarray, areas: np.ndarray, f: np.ndarray,
             if not alive[c] or not adj[c]:
                 continue
             best, best_fit = -1, -1.0
-            nc = normals[c] / max(np.linalg.norm(normals[c]), 1e-12)
+            nc = normals[c] / nmag[c]
             for d in sorted(adj[c]):
                 if not alive[d] or d == c:
                     continue
-                nd = normals[d] / max(np.linalg.norm(normals[d]), 1e-12)
-                fit = float(nc @ nd)
+                fit = float(nc @ normals[d]) / nmag[d]
                 if fit > best_fit:
                     best_fit, best = fit, d
             if best < 0:
@@ -443,6 +447,7 @@ def _merge_charts(fn: np.ndarray, areas: np.ndarray, f: np.ndarray,
             members[best] = faces_u
             members[c] = []
             normals[best] = normals[best] + normals[c]
+            nmag[best] = max(np.linalg.norm(normals[best]), 1e-12)
             carea[best] += carea[c]
             adj[best] |= adj[c]
             adj[best].discard(c)
@@ -469,6 +474,41 @@ def _absorb_small_charts(f: np.ndarray, chart: np.ndarray, nbr: np.ndarray,
     re-splits a merge only if it actually overlaps, so this trades a
     bounded distortion increase for a large seam reduction (xatlas makes
     the same trade with its minimum chart area)."""
+    if len(chart) < 64:
+        # tiny inputs (the split-coalescer calls this once per offending
+        # chart, thousands of times on fragmented meshes): pure python —
+        # ~8 sweeps × ~10 numpy dispatches cost more than the work by ~50×.
+        # Live list updates keep the original chain-absorption semantics.
+        ch = [int(c) for c in chart]
+        nb = [[int(d) for d in row] for row in nbr]
+        for _ in range(8):
+            sizes = {}
+            for c in ch:
+                sizes[c] = sizes.get(c, 0) + 1
+            small = sorted(c for c, s in sizes.items() if s < min_faces)
+            if not small:
+                break
+            small_set = set(small)
+            moved = False
+            for c in small:
+                sel = [i for i, cc in enumerate(ch) if cc == c]
+                if not sel:
+                    continue
+                votes = {}
+                for i in sel:
+                    for d in nb[i]:
+                        if d >= 0 and ch[d] != c:
+                            votes[ch[d]] = votes.get(ch[d], 0) + 1
+                if not votes:
+                    continue
+                best = max(votes, key=lambda d: (d not in small_set, votes[d]))
+                for i in sel:
+                    ch[i] = best
+                moved = True
+            if not moved:
+                break
+        remap = {c: i for i, c in enumerate(sorted(set(ch)))}
+        return np.fromiter((remap[c] for c in ch), np.int64, len(ch))
     chart = chart.copy()
     for _ in range(8):  # fixpoint: absorbing can re-expose small charts
         sizes = np.bincount(chart)
@@ -587,16 +627,30 @@ def _lscm(pts: np.ndarray, tris: np.ndarray):
             if m.any():
                 b[rr[m]] -= wr[m, corner] * pu_ - wi[m, corner] * pv_
                 b[T + rr[m]] -= wi[m, corner] * pu_ + wr[m, corner] * pv_
-    A = sp.coo_matrix(
-        (np.concatenate(vals),
-         (np.concatenate(rows), np.concatenate(cols))),
-        shape=(2 * T, 2 * nf_)).tocsr()
-    AtA = (A.T @ A).tocsc()
-    Atb = A.T @ b
-    try:
-        xsol = spla.spsolve(AtA, Atb)
-    except Exception:
-        return None
+    rows_c = np.concatenate(rows)
+    cols_c = np.concatenate(cols)
+    vals_c = np.concatenate(vals)
+    if nf_ <= 192 and T <= 512:
+        # small charts (the common case on charted production meshes —
+        # thousands per mesh): dense normal equations beat scipy's sparse
+        # assembly + SuperLU by ~10× at this size. Same linear system.
+        Ad = np.zeros((2 * T, 2 * nf_))
+        np.add.at(Ad, (rows_c, cols_c), vals_c)
+        AtA_d = Ad.T @ Ad
+        Atb_d = Ad.T @ b
+        try:
+            xsol = np.linalg.solve(AtA_d, Atb_d)
+        except np.linalg.LinAlgError:
+            xsol, *_ = np.linalg.lstsq(Ad, b, rcond=None)
+    else:
+        A = sp.coo_matrix((vals_c, (rows_c, cols_c)),
+                          shape=(2 * T, 2 * nf_)).tocsr()
+        AtA = (A.T @ A).tocsc()
+        Atb = A.T @ b
+        try:
+            xsol = spla.spsolve(AtA, Atb)
+        except Exception:
+            return None
     if not np.isfinite(xsol).all():
         return None
     uv = np.zeros((n, 2))
@@ -656,15 +710,37 @@ def _arap_refine(pts: np.ndarray, tris: np.ndarray, uv0: np.ndarray,
     rows = np.concatenate([ea, eb, ea, eb])
     cols = np.concatenate([eb, ea, ea, eb])
     vals = np.concatenate([-ew, -ew, ew, ew])
-    L = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
     # pin vertex 0 (fix gauge)
     freesel = np.arange(1, n)
-    Lff = L[freesel][:, freesel].tocsc()
-    Lf0 = L[freesel][:, [0]]
-    try:
-        solve = spla.factorized(Lff)
-    except Exception:
-        return None
+    if n <= 256:
+        # small charts: dense LU beats scipy's sparse factorization setup
+        # by ~10× at this size (same Laplacian, same solves)
+        import scipy.linalg as sla
+
+        Ld = np.zeros((n, n))
+        np.add.at(Ld, (rows, cols), vals)
+        Lf0 = Ld[1:, :1]
+        try:
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                lu = sla.lu_factor(Ld[1:, 1:])
+        except Exception:
+            return None
+        if np.abs(np.diag(lu[0])).min() < 1e-12:
+            # singular Laplacian (disconnected chart) — the sparse
+            # factorization raises here; keep that failure semantics
+            return None
+        solve = functools.partial(sla.lu_solve, lu)
+    else:
+        L = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+        Lff = L[freesel][:, freesel].tocsc()
+        Lf0 = L[freesel][:, [0]]
+        try:
+            solve = spla.factorized(Lff)
+        except Exception:
+            return None
 
     uv = uv0.copy()
     for _ in range(iters):
