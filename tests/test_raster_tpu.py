@@ -173,3 +173,45 @@ def test_bake_tpu_red_roundtrip_and_host_agreement():
     diff = np.abs(np.asarray(dev_tex) - host_tex)[both]
     # different discretizations (gather vs splat) — close on average
     assert diff.mean() < 0.03
+
+
+def test_mesh_bucketing_reuses_compiled_programs():
+    """Serving contract: meshes with different raw (V, F) but the same face
+    budget must reuse ONE compiled raster/bake program (upload_mesh buckets
+    shapes; UV-wrapped meshes pin V to 3x the face bucket). Without this,
+    every request recompiled the stack (~50 s on the remote TPU tunnel)."""
+    from hunyuan3d2_tpu.geometry.render_tpu import (
+        _cond_map_view,
+        _uv_geometry,
+        prepare_bake_tpu,
+    )
+    from hunyuan3d2_tpu.geometry.uv import mesh_uv_wrap
+
+    meshes = [_sphere_mesh(res=24, radius=0.6), _sphere_mesh(res=26, radius=0.5)]
+    shapes_geo, shapes_uvm = set(), set()
+    base_cond = _cond_map_view._cache_size()
+    base_uvg = _uv_geometry._cache_size()
+    for m in meshes:
+        r = MeshRender(default_resolution=128, texture_size=64)
+        r.load_mesh(m)
+        dev = upload_mesh(r)
+        shapes_geo.add((int(dev.verts.shape[0]), int(dev.faces.shape[0])))
+        mvp = jnp.asarray(r._mvp(0, 0)[1])
+        nrm, pos, _ = _cond_map_view(dev, mvp, 64)
+        assert nrm.shape == (64, 64, 3)
+
+        w = mesh_uv_wrap(m)
+        r.load_mesh(w)
+        devu = upload_mesh(r, need_uv=True)
+        assert devu is not None
+        shapes_uvm.add((int(devu.verts.shape[0]), int(devu.faces.shape[0])))
+        assert devu.verts.shape[0] == 3 * devu.faces.shape[0]
+        assert devu.uv.shape[0] == devu.verts.shape[0]
+        tp, tn, tv, _ = _uv_geometry(devu, 64)
+        assert tp.shape == (64, 64, 3)
+    # different meshes, same buckets -> the jitted programs were reused
+    assert len(shapes_geo) == 1, shapes_geo
+    assert len(shapes_uvm) == 1, shapes_uvm
+    # both meshes hit ONE new compiled program each
+    assert _cond_map_view._cache_size() - base_cond == 1
+    assert _uv_geometry._cache_size() - base_uvg == 1
