@@ -39,6 +39,11 @@ _AXES = np.array([
     [0, 0, 1], [0, 0, -1],
 ], np.float32)
 
+# minimum chart size under which sliver charts are absorbed into neighbors
+# (_absorb_small_charts / _coalesce_split); also the bound below which the
+# parameterizer's bucket split is a guaranteed no-op (see _parameterize_charts)
+MIN_COALESCE_FACES = 12
+
 # in-plane basis (u, v) per axis, chosen right-handed w.r.t. the axis so
 # projected triangles keep their orientation
 _BASES = {
@@ -309,14 +314,12 @@ def _smooth_chart_boundaries(fn: np.ndarray, chart: np.ndarray,
     return chart
 
 
-def _chart_basis(normal: np.ndarray):
-    """Right-handed in-plane (u, v) basis orthogonal to ``normal``.
-    Scalar arithmetic: np.cross/norm on single 3-vectors cost ~100 µs of
-    dispatch overhead and this runs once per chart (thousands of times on
-    fragmented meshes)."""
-    nx, ny, nz = float(normal[0]), float(normal[1]), float(normal[2])
+def _basis_scalar(nx: float, ny: float, nz: float):
+    """Scalar core of _chart_basis: right-handed in-plane (u, w) tuples for
+    a unit normal. ONE copy of the sign-sensitive convention (u = e_k ×
+    normal for the smallest |normal| component) shared by the numpy wrapper
+    and the tiny-chart pure-python path."""
     ax, ay, az = abs(nx), abs(ny), abs(nz)
-    # up = e_k for the smallest |normal| component; u = up × normal
     if ax <= ay and ax <= az:
         ux, uy, uz = 0.0, -nz, ny
     elif ay <= az:
@@ -328,8 +331,16 @@ def _chart_basis(normal: np.ndarray):
     wx = ny * uz - nz * uy
     wy = nz * ux - nx * uz
     wz = nx * uy - ny * ux
-    return (np.array([ux, uy, uz], np.float64),
-            np.array([wx, wy, wz], np.float64))
+    return (ux, uy, uz), (wx, wy, wz)
+
+
+def _chart_basis(normal: np.ndarray):
+    """Right-handed in-plane (u, v) basis orthogonal to ``normal``.
+    Scalar arithmetic: np.cross/norm on single 3-vectors cost ~100 µs of
+    dispatch overhead and this runs once per chart (thousands of times on
+    fragmented meshes)."""
+    u, w = _basis_scalar(float(normal[0]), float(normal[1]), float(normal[2]))
+    return np.array(u, np.float64), np.array(w, np.float64)
 
 
 def _chart_overlap_ratio(uv: np.ndarray, tris: np.ndarray, res: int = 128):
@@ -465,7 +476,7 @@ def _merge_charts(fn: np.ndarray, areas: np.ndarray, f: np.ndarray,
 
 
 def _absorb_small_charts(f: np.ndarray, chart: np.ndarray, nbr: np.ndarray,
-                         min_faces: int = 12) -> np.ndarray:
+                         min_faces: int = MIN_COALESCE_FACES) -> np.ndarray:
     """Sliver-chart cleanup (VERDICT r3 #8): cone-limited growing fragments
     thin features (plate rims, bevels) into dozens of 1-2-face charts whose
     boundaries dominate the seam length. Any chart under ``min_faces`` is
@@ -641,7 +652,10 @@ def _lscm(pts: np.ndarray, tris: np.ndarray):
         try:
             xsol = np.linalg.solve(AtA_d, Atb_d)
         except np.linalg.LinAlgError:
-            xsol, *_ = np.linalg.lstsq(Ad, b, rcond=None)
+            # singular system (orphan vertex with only zero-area weights):
+            # the sparse branch yields NaN → caller's planar fallback; keep
+            # that semantics rather than accepting a min-norm solution
+            return None
     else:
         A = sp.coo_matrix((vals_c, (rows_c, cols_c)),
                           shape=(2 * T, 2 * nf_)).tocsr()
@@ -796,7 +810,8 @@ def _flip_fraction(uv: np.ndarray, tris: np.ndarray) -> float:
 
 
 def _coalesce_split(f_sel: np.ndarray, sub: np.ndarray, sel: np.ndarray,
-                    nbr: np.ndarray, min_faces: int = 12) -> np.ndarray:
+                    nbr: np.ndarray,
+                    min_faces: int = MIN_COALESCE_FACES) -> np.ndarray:
     """Absorb tiny pieces of an in-chart split into their larger siblings
     (bevel rings straddling two projection axes otherwise shatter into
     1-face shards — the VERDICT r3 #8 'chart splitting casualty')."""
@@ -825,18 +840,7 @@ def _tiny_planar_param(sel, vl, fl, fnl, areal):
         a3 += a
     ln = max(sqrt(nx * nx + ny * ny + nz * nz), 1e-12)
     nx, ny, nz = nx / ln, ny / ln, nz / ln
-    ax, ay, az = abs(nx), abs(ny), abs(nz)
-    if ax <= ay and ax <= az:
-        ux, uy, uz = 0.0, -nz, ny
-    elif ay <= az:
-        ux, uy, uz = nz, 0.0, -nx
-    else:
-        ux, uy, uz = -ny, nx, 0.0
-    ul = max(sqrt(ux * ux + uy * uy + uz * uz), 1e-12)
-    ux, uy, uz = ux / ul, uy / ul, uz / ul
-    wx = ny * uz - nz * uy
-    wy = nz * ux - nx * uz
-    wz = nx * uy - ny * ux
+    (ux, uy, uz), (wx, wy, wz) = _basis_scalar(nx, ny, nz)
 
     vid = sorted({k for s in sel for k in fl[s]})
     row = {g: i for i, g in enumerate(vid)}
@@ -916,7 +920,9 @@ def _parameterize_charts(v: np.ndarray, f: np.ndarray, fn: np.ndarray,
             n_c /= max(np.linalg.norm(n_c), 1e-12)
             bu, bw = _chart_basis(n_c)
             uvc = np.stack([v[vid] @ bu, v[vid] @ bw], axis=1)
-        if len(sel) <= 2 or _chart_overlap_ratio(uvc, ltris) <= thresh:
+        # (1-2 face charts were consumed by the tiny fast path above, so
+        # every chart reaching here takes the overlap check)
+        if _chart_overlap_ratio(uvc, ltris) <= thresh:
             # normalize the chart's global scale to its 3D area so the
             # shelf packer allocates texture area ∝ surface area
             a = uvc[ltris[:, 1]] - uvc[ltris[:, 0]]
@@ -932,7 +938,7 @@ def _parameterize_charts(v: np.ndarray, f: np.ndarray, fn: np.ndarray,
         # ≤ the coalescer's min_faces the bucket split is a guaranteed
         # no-op (every piece would be absorbed back), so skip straight to
         # the median split — fragmented meshes hit this thousands of times
-        if len(sel) > 12:
+        if len(sel) > MIN_COALESCE_FACES:
             bucket = np.argmax(fn[sel] @ _AXES.T, axis=1)
             sub = _face_components_in_bucket(tris, bucket, len(v))
             if sub.max() > 0:

@@ -529,8 +529,16 @@ class ShapeVAE:
 
                     # bucketed transfers: each distinct slice length is a
                     # separate compiled program through the device tunnel
-                    v = decoders.bucket_slice(verts, count).astype(np.float32)
                     q = decoders.bucket_slice(quads, nq)
+                    if capped:
+                        # stage-A block overflow can leave pad rows below
+                        # `capacity` whose vertices are garbage (all from
+                        # clamped cell 0); no quad references them, so trim
+                        # to the last referenced vertex instead of shipping
+                        # them to the postprocessor
+                        count = min(count,
+                                    int(q.max()) + 1 if q.size else 0)
+                    v = decoders.bucket_slice(verts, count).astype(np.float32)
                     return [Latent2MeshOutput(
                         v, decoders.quads_to_tris(q).astype(np.int32))]
                 # overflow → fall through to the host-assembled path

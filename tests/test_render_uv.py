@@ -409,7 +409,7 @@ def test_uv_unwrap_fragmented_mesh_fast_and_injective():
     import time
 
     rs = np.random.RandomState(0)
-    n = 2500  # disjoint tetrahedra: 10k faces, 2500 components
+    n = 4000  # disjoint tetrahedra: 16k faces, 4000 components
     centers = rs.uniform(-1, 1, (n, 3)).astype(np.float32)
     base = np.array([[0, 0, 0], [0.02, 0, 0], [0, 0.02, 0], [0, 0, 0.02]],
                     np.float32)
@@ -423,7 +423,9 @@ def test_uv_unwrap_fragmented_mesh_fast_and_injective():
     t0 = time.time()
     out = mesh_uv_wrap(m)
     dt = time.time() - t0
-    assert dt < 12.0, f"fragmented unwrap took {dt:.1f}s"
+    # ~3.7 s measured; the pre-rewrite quadratic code took 25.5 s on this
+    # exact fixture, so 15 s separates regression from CI load variance
+    assert dt < 15.0, f"fragmented unwrap took {dt:.1f}s"
     assert out.uv is not None
     assert out.uv.min() >= -1e-6 and out.uv.max() <= 1 + 1e-6
     assert len(out.faces) == len(m.faces)
