@@ -495,12 +495,20 @@ def texture_stage(pipe, out, image):
     from hunyuan3d2_tpu.utils.timer import LAST_TIMINGS
 
     LAST_TIMINGS.pop("Diffusion Window (device)", None)
+    # median of 3 like the shape stages: a single paint run fluctuated
+    # 4.7-5.5 s across driver-grade runs (remote-tunnel dispatch jitter)
+    paint_times, tex_mesh = [], None
     with stage_guard(min(600, remaining() - 15), "paint measure"):
-        t0 = time.perf_counter()
-        tex_mesh = paint(m, image)
-        paint_sec = time.perf_counter() - t0
+        for i in range(3):
+            t0 = time.perf_counter()
+            tex_mesh = paint(m, image)
+            paint_times.append(time.perf_counter() - t0)
+            if remaining() < 120:
+                break
     assert tex_mesh is not None
-    log(f"paint done: {paint_sec:.2f}s")
+    paint_sec = median(paint_times)
+    log(f"paint done: {paint_sec:.2f}s (runs: "
+        + ", ".join(f"{t:.2f}" for t in paint_times) + ")")
 
     # ---- 2.5D UNet / diffusion-stage MFU (VERDICT r2 #3) --------------------
     # FLOPs counted analytically (paint_unet.apply_flops / sd_vae.flops —
