@@ -592,56 +592,93 @@ def single_pass_stage(paint, image):
     os.environ["HY3D_CAP_ACTIVES"] = "1"
     log(f"single-pass: shape stack up at t={time.perf_counter() - T0:.1f}s")
 
-    t0 = time.perf_counter()
-    mesh = pipe(image=image, num_inference_steps=5, guidance_scale=5.0,
-                octree_resolution=OCTREE, num_chunks=NUM_CHUNKS,
-                mc_algo="dmc", seed=7)
-    if isinstance(mesh, list):
-        mesh = mesh[0]
-    assert mesh is not None, "single-pass decode produced no mesh"
-    t_shape = time.perf_counter() - t0
-    from hunyuan3d2_tpu.utils.timer import LAST_TIMINGS
+    def one_pass(seed, verbose):
+        """One COMPLETE image→GLB pass on one mesh. Expects the shape stack
+        resident; leaves the paint stack resident (returned for teardown)."""
+        t0 = time.perf_counter()
+        mesh = pipe(image=image, num_inference_steps=5, guidance_scale=5.0,
+                    octree_resolution=OCTREE, num_chunks=NUM_CHUNKS,
+                    mc_algo="dmc", seed=seed)
+        if isinstance(mesh, list):
+            mesh = mesh[0]
+        assert mesh is not None, "single-pass decode produced no mesh"
+        t_shape = time.perf_counter() - t0
+        if verbose:
+            from hunyuan3d2_tpu.utils.timer import LAST_TIMINGS
 
-    log("single-pass shape scopes: " + ", ".join(
-        f"{k}={v:.2f}s" for k, v in LAST_TIMINGS.items()
-        if k in ("Preprocess", "Encode Cond", "Diffusion Sampling",
-                 "Volume Decoding")))
-    m = FloaterRemover()(mesh)
-    m = DegenerateFaceRemover()(m)
-    m = FaceReducer()(m, max_facenum=40000)
-    t_post = time.perf_counter() - t0 - t_shape
+            log("single-pass shape scopes: " + ", ".join(
+                f"{k}={v:.2f}s" for k, v in LAST_TIMINGS.items()
+                if k in ("Preprocess", "Encode Cond", "Diffusion Sampling",
+                         "Volume Decoding")))
+        m = FloaterRemover()(mesh)
+        m = DegenerateFaceRemover()(m)
+        m = FaceReducer()(m, max_facenum=40000)
+        t_post = time.perf_counter() - t0 - t_shape
 
-    t_swap0 = time.perf_counter()
-    pipe.model_params = None
-    pipe.vae.params = None
-    pipe.conditioner.main.params = None
-    gc.collect()
-    paint2 = Hunyuan3DPaintPipeline.init_random(
-        jax.random.PRNGKey(1), size=PAINT_SIZE, view_size=VIEW,
-        render_size=RENDER, texture_size=TEXTURE, num_inference_steps=10)
-    paint2.models["multiview_model"].pipeline.set_turbo(True)
-    t_swap = time.perf_counter() - t_swap0
+        t_swap0 = time.perf_counter()
+        pipe.model_params = None
+        pipe.vae.params = None
+        pipe.conditioner.main.params = None
+        gc.collect()
+        p2 = Hunyuan3DPaintPipeline.init_random(
+            jax.random.PRNGKey(1), size=PAINT_SIZE, view_size=VIEW,
+            render_size=RENDER, texture_size=TEXTURE, num_inference_steps=10)
+        p2.models["multiview_model"].pipeline.set_turbo(True)
+        t_swap = time.perf_counter() - t_swap0
 
-    tex_mesh = paint2(m, image)
-    with tempfile.NamedTemporaryFile(suffix=".glb", delete=True) as fh:
-        tex_mesh.export(fh.name)
-    total = time.perf_counter() - t0
-    log(f"single-pass done: {total:.2f}s (shape {t_shape:.2f} post "
-        f"{t_post:.2f} swap {t_swap:.2f} paint+glb "
-        f"{total - t_shape - t_post - t_swap:.2f})")
+        tex_mesh = p2(m, image)
+        with tempfile.NamedTemporaryFile(suffix=".glb", delete=True) as fh:
+            tex_mesh.export(fh.name)
+        total = time.perf_counter() - t0
+        log(f"single-pass done: {total:.2f}s (shape {t_shape:.2f} post "
+            f"{t_post:.2f} swap {t_swap:.2f} paint+glb "
+            f"{total - t_shape - t_post - t_swap:.2f})")
+        return total, {
+            "shape_sec": round(t_shape, 4),
+            "postprocess_sec": round(t_post, 4),
+            "param_swap_sec": round(t_swap, 4),
+            "paint_glb_sec": round(total - t_shape - t_post - t_swap, 4),
+            "mesh_faces": int(len(m.faces)),
+        }, p2
+
+    # median of up to 3 complete passes: the remote tunnel's dispatch
+    # latency varies run-to-run by ±20% (observed 8.4-10.0 s for identical
+    # code); every pass is a full image→GLB on its own mesh (fresh seed).
+    # The inter-pass stack swap (paint down, shape up) is serving startup —
+    # untimed, exactly like the first pass's.
+    runs, parts = [], None
+    for i in range(3):
+        total, p, paint2 = one_pass(7 + i, verbose=(i == 0))
+        runs.append(round(total, 4))
+        if parts is None or total == median(runs):
+            parts = p
+        if remaining() < 2.0 * total + 90 or i == 2:
+            break
+        # teardown: paint stack down, shape stack back up (untimed)
+        paint2.models["multiview_model"].pipeline.unet_params = None
+        paint2.models["multiview_model"].pipeline.vae_params = None
+        gc.collect()
+        pipe2 = Hunyuan3DDiTFlowMatchingPipeline.init_random(
+            jax.random.PRNGKey(0), size=SHAPE_SIZE, dino=DINO)
+        pipe2.enable_flashvdm(True, mc_algo="dmc")
+        pipe.model_params = pipe2.model_params
+        pipe.vae.params = pipe2.vae.params
+        pipe.conditioner.main.params = pipe2.conditioner.main.params
+        del pipe2
+        log(f"single-pass: shape stack back up at "
+            f"t={time.perf_counter() - T0:.1f}s")
+    total = median(runs)
     return {
         "metric": "image_to_textured_glb_single_pass_sec",
         "value": round(total, 4),
         "unit": "s",
         "vs_baseline": round(10.0 / total, 3),
         "composition": "single-pass",
-        "shape_sec": round(t_shape, 4),
-        "postprocess_sec": round(t_post, 4),
-        "param_swap_sec": round(t_swap, 4),
-        "paint_glb_sec": round(total - t_shape - t_post - t_swap, 4),
-        "mesh_faces": int(len(m.faces)),
+        "runs": runs,
+        **parts,
         "note": "noise-SDF mesh from random weights (zero-egress); "
-                "actives capped at decoder capacity — cost upper bound",
+                "actives capped at decoder capacity — cost upper bound; "
+                "value = median of complete passes",
     }
 
 
