@@ -267,9 +267,9 @@ def _attention(p, x: Array, kv: Array, heads: int, mask: Array = None) -> Array:
     k = split_heads(Linear.apply(p["to_k"], kv), heads)
     v = split_heads(Linear.apply(p["to_v"], kv), heads)
     if mask is not None:
-        from hunyuan3d2_tpu.ops.attention import sdpa
+        from hunyuan3d2_tpu.ops.attention import masked_attention
 
-        out = sdpa(q, k, v, mask=mask[:, None])
+        out = masked_attention(q, k, v, mask)
     else:
         out = attn_op(q, k, v)
     return Linear.apply(p["to_out"], merge_heads(out))

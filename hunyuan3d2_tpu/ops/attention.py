@@ -69,6 +69,23 @@ def attention(q: Array, k: Array, v: Array, scale: float | None = None,
     return sdpa(q, k, v, scale=scale, mask=mask)
 
 
+def masked_attention(q: Array, k: Array, v: Array, mask: Array,
+                     scale: float | None = None) -> Array:
+    """Attention with a per-batch boolean mask [B, Lq, Lk] shared across
+    heads (the paint UNet's turbo voxel-locality mask). On TPU with
+    long-enough sequences the Pallas masked flash kernel streams the mask
+    as bool tiles; the sdpa fallback materializes [B, H, Lq, Lk] fp32
+    scores (1.5 GB at L=6144, H=10 — fine on CPU tests, wasteful on HBM)."""
+    if _use_flash() and q.shape[-2] >= 512 and q.shape[-1] in (64, 128):
+        try:
+            from hunyuan3d2_tpu.ops.flash_attention import flash_attention_masked
+
+            return flash_attention_masked(q, k, v, mask, scale=scale)
+        except Exception:
+            pass
+    return sdpa(q, k, v, scale=scale, mask=mask[:, None])
+
+
 def merge_heads(x: Array) -> Array:
     """[B, H, L, D] → [B, L, H*D]."""
     b, h, l, d = x.shape

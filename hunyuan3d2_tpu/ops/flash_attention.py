@@ -1,8 +1,10 @@
-"""Pallas TPU flash attention (non-causal, full attention, no mask).
+"""Pallas TPU flash attention (non-causal; unmasked + boolean-masked).
 
 The DiT attends over cond 1370 + latents 512..3072 tokens and the paint
 UNet's multiview attention over ~24k tokens (6 views × 64² latents); a
 blocked online-softmax kernel keeps the O(L²) score matrix out of HBM.
+The masked variant streams the turbo voxel-locality mask as bool tiles
+(XLA sdpa with a mask materializes the full fp32 score tensor instead).
 
 Kernel shape: grid (batch·heads, q_blocks, k_blocks) with the k axis
 innermost; running max / normalizer / accumulator live in VMEM scratch that
@@ -68,6 +70,113 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     @pl.when(ki == nk - 1)
     def _finish():
         o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(o_ref.dtype)
+
+
+def _kernel_masked(q_ref, k_ref, v_ref, msk_ref, o_ref, m_scr, l_scr,
+                   acc_scr, *, scale: float, kv_len: int, bk: int):
+    """_kernel plus a boolean [BQ, BK] attention-mask block (the paint
+    UNet's turbo voxel-locality mask): masked scores pin to NEG_INF, and p
+    is forced to 0 where masked so a row whose first k-blocks are fully
+    masked cannot leak exp(0)=1 weights while the running max is still
+    NEG_INF (they would be alpha-corrected later, but a fully-masked row
+    never gets the correction)."""
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale         # [BQ, BK]
+    col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    allowed = msk_ref[0] & (col < kv_len)
+    s = jnp.where(allowed, s, NEG_INF)
+
+    m_prev = m_scr[:]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.where(allowed, jnp.exp(s - m_new), 0.0)          # [BQ, BK]
+    alpha = jnp.exp(m_prev - m_new)
+
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_scr[:] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "bq", "bk", "n_heads"))
+def _flash_masked(q: Array, k: Array, v: Array, mask: Array, scale: float,
+                  bq: int, bk: int, n_heads: int) -> Array:
+    """q/k/v [N, L, D] (N = B·H); mask [B, Lq, Lk] bool shared across the
+    head axis (the voxel mask is per-batch). Padding rows/cols are masked
+    off inside the kernel."""
+    n, lq, d = q.shape
+    lk = k.shape[1]
+    lq_p = -(-lq // bq) * bq
+    lk_p = -(-lk // bk) * bk
+    if lq_p != lq:
+        q = jnp.pad(q, ((0, 0), (0, lq_p - lq), (0, 0)))
+    if lk_p != lk:
+        k = jnp.pad(k, ((0, 0), (0, lk_p - lk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, lk_p - lk), (0, 0)))
+    if mask.shape[1:] != (lq_p, lk_p):
+        mask = jnp.pad(mask, ((0, 0), (0, lq_p - mask.shape[1]),
+                              (0, lk_p - mask.shape[2])))
+
+    grid = (n, lq_p // bq, lk_p // bk)
+    out = pl.pallas_call(
+        functools.partial(_kernel_masked, scale=scale, kv_len=lk, bk=bk),
+        out_shape=jax.ShapeDtypeStruct((n, lq_p, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bq, bk),
+                         lambda b, qi, ki: (b // n_heads, qi, ki)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+    )(q, k, v, mask)
+    return out[:, :lq]
+
+
+def flash_attention_masked(q: Array, k: Array, v: Array, mask: Array,
+                           scale: float | None = None,
+                           bq: int = DEFAULT_BQ, bk: int = DEFAULT_BK) -> Array:
+    """Masked flash attention. q/k/v: [B, H, L, D]; mask: [B, Lq, Lk] bool
+    (True = attend), shared across heads — the paint UNet's voxel-locality
+    multiview mask. Keeps the O(L²) mask out of fp32 logits form: XLA sdpa
+    with a mask materializes [B, H, Lq, Lk] fp32 scores in HBM (1.5 GB at
+    L=6144, H=10), this kernel streams bool [BQ, BK] tiles."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    qf = q.reshape(b * h, lq, d)
+    kf = k.reshape(b * h, lk, d)
+    vf = v.reshape(b * h, lk, d)
+    bq = min(bq, max(128, lq))
+    bk = min(bk, max(128, lk))
+    out = _flash_masked(qf, kf, vf, mask, float(scale), int(bq), int(bk), h)
+    return out.reshape(b, h, lq, d)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "bq", "bk"))
