@@ -207,6 +207,23 @@ def _fused_geo_enabled(cfg: ShapeVAEConfig) -> bool:
     return shapes_ok and (flag == "force" or is_tpu_backend())
 
 
+def _fused_geo_stream_enabled(cfg: ShapeVAEConfig) -> bool:
+    """Streamed fused Pallas geo-decoder gate (large latent counts — v2-0's
+    3072 tokens): KV streams through VMEM in 256-token chunks with online
+    softmax, so the only shape constraints are tiling alignment. Same kill
+    switch (HY3D_FUSED_GEO=0 / =force) as the resident kernel."""
+    flag = os.environ.get("HY3D_FUSED_GEO", "1")
+    if flag == "0":
+        return False
+    from hunyuan3d2_tpu.ops.attention import is_tpu_backend
+
+    shapes_ok = (cfg.num_latents > 1024 and cfg.num_latents % 256 == 0
+                 and cfg.width % 128 == 0
+                 and (cfg.geo_decoder_mlp_expand_ratio * cfg.width) % 512 == 0
+                 and cfg.head_dim in (64, 128) and cfg.out_channels == 1)
+    return shapes_ok and (flag == "force" or is_tpu_backend())
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _decode_latents_jit(params, cfg, latents):
     # NOTE dtype policy: fp32 activations, measured deliberately. Casting the
@@ -237,11 +254,26 @@ def _grid_decode_jit(params, cfg, kv, decoder_kind: str, octree_resolution: int,
     assembly instead of the dense grid (228 MB → ~25 MB transfer)."""
     from hunyuan3d2_tpu.volume import decoders
 
-    if decoder_kind == "flashvdm" and cfg.num_latents >= 2048:
+    if (decoder_kind == "flashvdm" and cfg.num_latents > 1024
+            and _fused_geo_stream_enabled(cfg)):
+        # v2-0 flagship (3072 latents): dense attention with K/V chunks
+        # STREAMED through VMEM (online softmax) as one fused Pallas
+        # kernel — exact where the reference's top-k pruning
+        # (attention_processors.py:39-71, k=1024@3072) approximates, and
+        # faster on TPU: sequential DMA replaces per-group top-k +
+        # take_along_axis gathers. HY3D_FUSED_GEO=0 restores pruning.
+        from hunyuan3d2_tpu.ops.geo_decoder_pallas import fused_geo_decode_stream
+
+        kv16s = jax.tree.map(lambda a: a.astype(jnp.bfloat16), kv)
+
+        def decode_fn(pts, _kv16s=kv16s):
+            return fused_geo_decode_stream(params, cfg, pts, _kv16s)
+    elif decoder_kind == "flashvdm" and cfg.num_latents >= 2048:
         # KV pruning pays at long latent contexts (parity semantics: the
         # reference processor prunes, attention_processors.py:39-71;
         # k rule: 1024 for 3072 tokens, 256 for 512, else L/3)
-        k_top = {3072: 1024, 512: 256}.get(cfg.num_latents, cfg.num_latents // 3)
+        k_top = {3072: 1024, 512: 256}.get(cfg.num_latents,
+                                           cfg.num_latents // 3)
 
         def decode_fn(pts):
             p = pts.shape[1]
