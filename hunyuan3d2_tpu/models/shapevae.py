@@ -209,9 +209,10 @@ def _fused_geo_enabled(cfg: ShapeVAEConfig) -> bool:
 
 def _fused_geo_stream_enabled(cfg: ShapeVAEConfig) -> bool:
     """Streamed fused Pallas geo-decoder gate (large latent counts — v2-0's
-    3072 tokens): KV streams through VMEM in 256-token chunks with online
-    softmax, so the only shape constraints are tiling alignment. Same kill
-    switch (HY3D_FUSED_GEO=0 / =force) as the resident kernel."""
+    3072 tokens): XLA projections + blocked flash attention over the long KV
+    + fused MLP-tail kernel (see ops/geo_decoder_pallas.py design note), so
+    the only shape constraints are tiling alignment. Same kill switch
+    (HY3D_FUSED_GEO=0 / =force) as the resident kernel."""
     flag = os.environ.get("HY3D_FUSED_GEO", "1")
     if flag == "0":
         return False

@@ -258,103 +258,63 @@ def fused_geo_decode(params, cfg, queries: Array, kv, tile: int = 256,
 # ---------------------------------------------------------------------------
 # streamed variant: KV too big for VMEM (v2-0's 3072 latents)
 # ---------------------------------------------------------------------------
-def _kernel_stream(qe_ref, wqp_ref, bqp_ref, ln1s_ref, ln1b_ref, wcq_ref,
-                   bcq_ref, qns_ref, qnb_ref, k_ref, v_ref, wcp_ref, bcp_ref,
-                   ln3s_ref, ln3b_ref, wfc_ref, bfc_ref, wpj_ref, bpj_ref,
-                   lnps_ref, lnpb_ref, wout_ref, bout_ref, out_ref,
-                   q_scr, m_scr, l_scr, oacc_scr, h_scr, *,
-                   heads: int, head_dim: int, scale: float, eps: float,
-                   KC: int, C: int):
-    """Phased grid (n_tiles, KC + C): steps [0, KC) stream one KV chunk each
-    and run an online-softmax update; steps [KC, KC+C) stream MLP column
-    chunks exactly like the resident kernel. Running per-head max/denominator
-    are kept BROADCAST across each head's lane span ([T, W] scratch) so every
-    update stays a full-width vector op — no sub-128-lane stores."""
-    s = pl.program_id(1)
-    bf = jnp.bfloat16
+# Design note (v5e measurements): a first all-in-one phased kernel (KV-chunk
+# online-softmax phases + MLP column phases inside ONE kernel) hit only 0.23
+# MFU — its attention phase degenerates into 16 per-head [T,64]·[64,Lc]
+# matmuls per KV step plus [T,W] softmax-state bookkeeping, all VPU-bound.
+# The production path is therefore MODULAR: XLA runs the big clean matmuls
+# (query_proj/c_q/c_proj — near-peak on MXU), a flash-attention kernel with
+# heads on the GRID handles the KV sweep at proven block shapes
+# ([512,64]·[64,1024], cf. ops/flash_attention.py), and an MLP-only fused
+# kernel keeps the [T,4W] intermediates out of HBM. The [P,W]-sized
+# inter-stage tensors round-trip HBM once each (~3 GB at P=262k ≈ 4 ms at
+# v5e bandwidth — negligible vs the 9.4 TFLOP of compute).
 
-    @pl.when(s == 0)
-    def _q_phase():
-        x = _dot(qe_ref[:], wqp_ref[:]) + bqp_ref[:]            # [T, W] f32
-        h1 = _ln_f32(x, ln1s_ref, ln1b_ref, eps)
-        qm = _dot(h1.astype(bf), wcq_ref[:]) + bcq_ref[:]       # [T, W] f32
-        qn = []
-        for h in range(heads):
-            sl = slice(h * head_dim, (h + 1) * head_dim)
-            qh = qm[:, sl]
-            m = jnp.mean(qh, axis=-1, keepdims=True)
-            vv = jnp.mean(jnp.square(qh - m), axis=-1, keepdims=True)
-            qh = (qh - m) * jax.lax.rsqrt(vv + eps)
-            qn.append(qh * qns_ref[:, sl] + qnb_ref[:, sl])
-        q_scr[:] = jnp.concatenate(qn, axis=-1).astype(bf)
-        m_scr[:] = jnp.full(m_scr.shape, NEG_BIG, jnp.float32)
-        l_scr[:] = jnp.zeros(l_scr.shape, jnp.float32)
-        oacc_scr[:] = jnp.zeros(oacc_scr.shape, jnp.float32)
 
-    @pl.when(s < KC)
-    def _attn_phase():
-        q = q_scr[:]                                            # [T, W] bf16
-        m_old = m_scr[:]
-        l_old = l_scr[:]
-        o_old = oacc_scr[:]
-        ms, ls, os_ = [], [], []
-        for h in range(heads):
-            sl = slice(h * head_dim, (h + 1) * head_dim)
-            sc = _dot_t(q[:, sl], k_ref[h]) * scale             # [T, Lc] f32
-            mo = m_old[:, sl][:, :1]
-            mn = jnp.maximum(mo, jnp.max(sc, axis=-1, keepdims=True))
-            p = jnp.exp(sc - mn)                                # [T, Lc] f32
-            corr = jnp.exp(mo - mn)                             # [T, 1]
-            lo = l_old[:, sl][:, :1]
-            ln = lo * corr + jnp.sum(p, axis=-1, keepdims=True)
-            os_.append(o_old[:, sl] * corr + _dot(p.astype(bf), v_ref[h]))
-            ms.append(jnp.broadcast_to(mn, (mn.shape[0], head_dim)))
-            ls.append(jnp.broadcast_to(ln, (ln.shape[0], head_dim)))
-        m_scr[:] = jnp.concatenate(ms, axis=-1)
-        l_scr[:] = jnp.concatenate(ls, axis=-1)
-        oacc_scr[:] = jnp.concatenate(os_, axis=-1)
+def _geo_mlp_kernel(x2_ref, ln3s_ref, ln3b_ref, wfc_ref, bfc_ref, wpj_ref,
+                    bpj_ref, lnps_ref, lnpb_ref, wout_ref, bout_ref, out_ref,
+                    h_scr, acc_scr, *, eps: float, C: int):
+    """MLP tail of the geo decoder: LN3 → 4W GELU MLP (column-streamed) →
+    residual → ln_post → output matvec. Input x2 = x + c_proj(attn)."""
+    c = pl.program_id(1)
 
-    @pl.when(s == KC)
-    def _finalize():
-        attn = oacc_scr[:] / l_scr[:]                           # [T, W] f32
-        # residual x recomputed (cheaper than a [T, W] f32 scratch: the
-        # embedding tile and wqp stay VMEM-resident across all phases)
-        x = _dot(qe_ref[:], wqp_ref[:]) + bqp_ref[:]
-        x2 = x + _dot(attn.astype(bf), wcp_ref[:]) + bcp_ref[:]
+    @pl.when(c == 0)
+    def _init():
+        x2 = x2_ref[:].astype(jnp.float32)
         h3 = _ln_f32(x2, ln3s_ref, ln3b_ref, eps)
-        h_scr[:] = h3.astype(bf)
-        oacc_scr[:] = x2 + bpj_ref[:]       # reuse as the MLP accumulator
+        h_scr[:] = h3.astype(jnp.bfloat16)
+        acc_scr[:] = x2 + bpj_ref[:]
 
-    @pl.when(s >= KC)
-    def _mlp_phase():
-        t = _dot(h_scr[:], wfc_ref[:]) + bfc_ref[:]             # [T, cc] f32
-        t = 0.5 * t * (1.0 + _erf(t * (2.0 ** -0.5)))           # exact gelu
-        oacc_scr[:] += _dot(t.astype(bf), wpj_ref[:])
+    t = _dot(h_scr[:], wfc_ref[:]) + bfc_ref[:]                 # [T, cc] f32
+    t = 0.5 * t * (1.0 + _erf(t * (2.0 ** -0.5)))               # exact gelu
+    acc_scr[:] += _dot(t.astype(jnp.bfloat16), wpj_ref[:])
 
-    @pl.when(s == KC + C - 1)
+    @pl.when(c == C - 1)
     def _out_phase():
-        x3 = _ln_f32(oacc_scr[:], lnps_ref, lnpb_ref, eps)
-        o = _dot_t(wout_ref[:], x3.astype(bf))                  # [1, T] f32
+        x3 = _ln_f32(acc_scr[:], lnps_ref, lnpb_ref, eps)
+        o = _dot_t(wout_ref[:], x3.astype(jnp.bfloat16))        # [1, T] f32
         out_ref[0] = o + bout_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tile", "lc", "col_chunk",
-                                             "interpret"))
-def fused_geo_decode_stream(params, cfg, queries: Array, kv, tile: int = 256,
-                            lc: int = 256, col_chunk: int = 512,
+@functools.partial(jax.jit, static_argnames=("cfg", "tile", "bq", "bk",
+                                             "col_chunk", "interpret"))
+def fused_geo_decode_stream(params, cfg, queries: Array, kv, tile: int = 512,
+                            bq: int = 1024, bk: int = 1024,
+                            col_chunk: int = 512,
                             interpret: bool | None = None) -> Array:
     """Large-latent fused geo decode: queries [B, P, 3] + kv ([B, H, L, D]
     each, k pre-normed, L > VMEM budget) → [B, P] f32 occupancy logits.
 
     Numerically equivalent to models/shapevae.decode_queries (dense — online
-    softmax is exact); the v2-0 flagship path (3072 latents,
-    reference pipelines.py:470-485). K/V stream in ``lc``-token chunks with
-    flash-attention accumulation; MLP weights stream in ``col_chunk`` columns
-    as in :func:`fused_geo_decode`. VMEM @ (256, 256, 512):
-    resident weights ~4.3 MB + streamed double-buffers ~6 MB + scratch 4 MB.
+    softmax is exact); the v2-0 flagship path (3072 latents, reference
+    pipelines.py:470-485, where the reference prunes to top-1024 keys —
+    attention_processors.py:39-71 — as a lossy approximation of exactly this
+    attention). Three stages in one jitted program: XLA projections →
+    heads-on-grid flash attention → fused MLP tail (see design note above).
     """
     from hunyuan3d2_tpu.ops.attention import is_tpu_backend
     from hunyuan3d2_tpu.ops.embeddings import fourier_embed
+    from hunyuan3d2_tpu.ops.nn import layer_norm
 
     if interpret is None:
         interpret = not is_tpu_backend()
@@ -365,77 +325,78 @@ def fused_geo_decode_stream(params, cfg, queries: Array, kv, tile: int = 256,
     assert b == 1, "fused geo decode is per-mesh (B=1)"
     heads, hd, w = cfg.heads, cfg.head_dim, cfg.width
     L = k.shape[2]
-    assert L % lc == 0, (L, lc)
-    KC = L // lc
+    bf = jnp.bfloat16
     mlp = cfg.geo_decoder_mlp_expand_ratio * w
     col_chunk = min(col_chunk, mlp)
     assert mlp % col_chunk == 0
     C = mlp // col_chunk
-    tile = min(tile, max(128, -(-p // 128) * 128))
 
-    qe = fourier_embed(queries[0], cfg.num_freqs, cfg.include_pi)
-    qdim = qe.shape[-1]
-    p_pad = -(-p // tile) * tile
-    qe_pad = jnp.zeros((p_pad, EMB_PAD), jnp.bfloat16)
-    qe_pad = qe_pad.at[:p, :qdim].set(qe.astype(jnp.bfloat16))
-    n_tiles = p_pad // tile
+    p_aligned = max(128, -(-p // 128) * 128)
+    tile = min(tile, p_aligned)
+    bq = min(bq, p_aligned)
+    p_pad = -(-p // tile) * tile        # MLP grid; flash pads independently
+
+    # ---- XLA projections (big clean matmuls; bf16 in / fp32 accum) ---------
+    qe = fourier_embed(queries, cfg.num_freqs, cfg.include_pi)   # [1, P, 51]
+    x = (jnp.einsum("bpq,qw->bpw", qe.astype(bf),
+                    g["query_proj"]["w"].astype(bf),
+                    preferred_element_type=jnp.float32)
+         + g["query_proj"].get("b", jnp.zeros((w,))))            # [1, P, W] f32
+    h1 = layer_norm(x, g["ln_1_scale"], g["ln_1_bias"], cfg.ln_eps)
+    qm = jnp.einsum("bpw,wu->bpu", h1.astype(bf), g["c_q"]["w"].astype(bf),
+                    preferred_element_type=jnp.float32)
+    if g["c_q"].get("b") is not None:
+        qm = qm + g["c_q"]["b"]
+    qh = qm.reshape(1, p, heads, hd)
+    qh = layer_norm(qh, g["q_norm_scale"], g["q_norm_bias"], cfg.ln_eps)
+
+    # ---- flash attention over the long KV (proven blocked kernel) ----------
+    # [1, P, H, D] → [1, H, P, D]: an XLA relayout (~2 ms at P=262k) buys the
+    # tuned ops/flash_attention block shapes ([bq,64]·[64,bk] per step)
+    q4 = qh.transpose(0, 2, 1, 3).astype(bf)
+    from hunyuan3d2_tpu.ops.flash_attention import flash_attention
+
+    if interpret:
+        # CPU tests: the XLA sdpa path (flash kernel is TPU-lowered)
+        from hunyuan3d2_tpu.ops.attention import attention
+
+        attn4 = attention(q4, k.astype(bf), v.astype(bf))
+    else:
+        attn4 = flash_attention(q4, k.astype(bf), v.astype(bf),
+                                bq=bq, bk=min(bk, L))
+
+    # ---- c_proj + residual (XLA), then the fused MLP tail ------------------
+    attn_w = attn4.transpose(0, 2, 1, 3).reshape(1, p, w)        # head-minor
+    x2 = x + (jnp.einsum("bpw,wu->bpu", attn_w, g["c_proj"]["w"].astype(bf),
+                         preferred_element_type=jnp.float32)
+              + g["c_proj"]["b"])                                # [1, P, W]
 
     o = _prep(g, cfg)
-    kh = k[0].astype(jnp.bfloat16)                     # [H, L, D]
-    vh = v[0].astype(jnp.bfloat16)
-
-    vm = dict()
-
-    def cspec(shape):
-        if len(shape) == 2:
-            return pl.BlockSpec(shape, lambda i, s: (0, 0), **vm)
-        return pl.BlockSpec(shape, lambda i, s: (0, 0, 0), **vm)
-
-    def kv_idx(i, s):
-        # clamp: during MLP phases keep the last KV chunk resident (no DMA)
-        return (0, jnp.minimum(s, KC - 1), 0)
-
-    def fc_idx(i, s):
-        return (0, jnp.maximum(s - KC, 0))
-
-    def pj_idx(i, s):
-        return (jnp.maximum(s - KC, 0), 0)
-
-    grid = (n_tiles, KC + C)
+    x2_pad = jnp.zeros((p_pad, w), bf).at[:p].set(x2[0].astype(bf))
+    n_tiles = p_pad // tile
     out = pl.pallas_call(
-        functools.partial(_kernel_stream, heads=heads, head_dim=hd,
-                          scale=float(hd) ** -0.5, eps=cfg.ln_eps,
-                          KC=KC, C=C),
+        functools.partial(_geo_mlp_kernel, eps=cfg.ln_eps, C=C),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32),
-        grid=grid,
+        grid=(n_tiles, C),
         in_specs=[
-            pl.BlockSpec((tile, EMB_PAD), lambda i, s: (i, 0), **vm),  # qe
-            cspec((EMB_PAD, w)), cspec((1, w)),                 # wqp bqp
-            cspec((1, w)), cspec((1, w)),                       # ln1
-            cspec((w, w)), cspec((1, w)),                       # wcq bcq
-            cspec((1, w)), cspec((1, w)),                       # qns qnb
-            pl.BlockSpec((heads, lc, hd), kv_idx, **vm),        # k chunk
-            pl.BlockSpec((heads, lc, hd), kv_idx, **vm),        # v chunk
-            cspec((w, w)), cspec((1, w)),                       # wcp bcp
-            cspec((1, w)), cspec((1, w)),                       # ln3
-            pl.BlockSpec((w, col_chunk), fc_idx, **vm),         # wfc
-            pl.BlockSpec((1, col_chunk), fc_idx, **vm),         # bfc
-            pl.BlockSpec((col_chunk, w), pj_idx, **vm),         # wpj
-            cspec((1, w)),                                      # bpj
-            cspec((1, w)), cspec((1, w)),                       # lnp
-            cspec((1, w)), cspec((1, 1)),                       # wout bout
+            pl.BlockSpec((tile, w), lambda i, c: (i, 0)),       # x2
+            pl.BlockSpec((1, w), lambda i, c: (0, 0)),          # ln3 s
+            pl.BlockSpec((1, w), lambda i, c: (0, 0)),          # ln3 b
+            pl.BlockSpec((w, col_chunk), lambda i, c: (0, c)),  # wfc
+            pl.BlockSpec((1, col_chunk), lambda i, c: (0, c)),  # bfc
+            pl.BlockSpec((col_chunk, w), lambda i, c: (c, 0)),  # wpj
+            pl.BlockSpec((1, w), lambda i, c: (0, 0)),          # bpj
+            pl.BlockSpec((1, w), lambda i, c: (0, 0)),          # lnps
+            pl.BlockSpec((1, w), lambda i, c: (0, 0)),          # lnpb
+            pl.BlockSpec((1, w), lambda i, c: (0, 0)),          # wout
+            pl.BlockSpec((1, 1), lambda i, c: (0, 0)),          # bout
         ],
-        out_specs=pl.BlockSpec((1, 1, tile), lambda i, s: (i, 0, 0), **vm),
+        out_specs=pl.BlockSpec((1, 1, tile), lambda i, c: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((tile, w), jnp.bfloat16),                # q (normed)
-            pltpu.VMEM((tile, w), jnp.float32),                 # m (bcast)
-            pltpu.VMEM((tile, w), jnp.float32),                 # l (bcast)
-            pltpu.VMEM((tile, w), jnp.float32),                 # oacc / acc
             pltpu.VMEM((tile, w), jnp.bfloat16),                # h
+            pltpu.VMEM((tile, w), jnp.float32),                 # acc
         ],
         interpret=interpret,
-    )(qe_pad, o["wqp"], o["bqp"], o["ln1s"], o["ln1b"], o["wcq"], o["bcq"],
-      o["qns"], o["qnb"], kh, vh, o["wcp"], o["bcp"], o["ln3s"], o["ln3b"],
-      o["wfc"], o["bfc"], o["wpj"], o["bpj"], o["lnps"], o["lnpb"],
-      o["wout"], o["bout"])
+    )(x2_pad, o["ln3s"], o["ln3b"], o["wfc"], o["bfc"], o["wpj"], o["bpj"],
+      o["lnps"], o["lnpb"], o["wout"], o["bout"])
     return out.reshape(1, p_pad)[:, :p]

@@ -99,7 +99,7 @@ def test_stream_matches_decode_queries(stream_kv):
                              minval=-1.0, maxval=1.0)
     ref = np.asarray(sv.decode_queries(params, cfg, pts, kv16), np.float32)
     out = np.asarray(
-        fused_geo_decode_stream(params, cfg, pts, kv16, tile=256, lc=128),
+        fused_geo_decode_stream(params, cfg, pts, kv16, tile=256, bk=128),
         np.float32)
     assert out.shape == ref.shape
     corr = np.corrcoef(ref.ravel(), out.ravel())[0, 1]
@@ -116,7 +116,7 @@ def test_stream_single_kv_chunk_and_ragged(stream_kv):
                              minval=-1.0, maxval=1.0)
     ref = np.asarray(sv.decode_queries(params, cfg, pts, kv16), np.float32)
     out = np.asarray(
-        fused_geo_decode_stream(params, cfg, pts, kv16, tile=256, lc=256),
+        fused_geo_decode_stream(params, cfg, pts, kv16, tile=256, bk=256),
         np.float32)
     assert out.shape == (1, 300)
     assert np.corrcoef(ref.ravel(), out.ravel())[0, 1] > 0.9999
