@@ -230,7 +230,14 @@ def build_sphere_device(octree):
     return out
 
 
-def shape_stage():
+def shape_stage(size=None, metric=None, surf_reuse=None, reserve=60):
+    """Shape stages 1-4 for one model size. ``size`` defaults to the bench
+    config (mini); size='full' is the v2-0 flagship (1.1B DiT + 3072-latent
+    VAE — reference pipelines.py:470-485, the default `from_pretrained`
+    config). ``surf_reuse=(mesh, transfer_sec)`` skips the sphere-fixture
+    surface sub-stage and reuses the mini stage's numbers (the fixture and
+    the transfer cost depend only on octree, not the model). ``reserve``
+    seconds are left untouched for later stages."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -240,12 +247,14 @@ def shape_stage():
     from hunyuan3d2_tpu.pipelines.shapegen import Hunyuan3DDiTFlowMatchingPipeline
     from hunyuan3d2_tpu.volume.surface import SurfaceNetsExtractor
 
+    size = size or SHAPE_SIZE
+    metric = metric or f"shape_gen_e2e_sec_{SHAPE_SIZE}5step_octree{OCTREE}"
     octree = OCTREE
     num_chunks = NUM_CHUNKS
     pipe = Hunyuan3DDiTFlowMatchingPipeline.init_random(
-        jax.random.PRNGKey(0), size=SHAPE_SIZE, dino=DINO)
+        jax.random.PRNGKey(0), size=size, dino=DINO)
     pipe.enable_flashvdm(True, mc_algo="dmc")
-    log(f"init done at t={time.perf_counter() - T0:.1f}s")
+    log(f"init done ({size}) at t={time.perf_counter() - T0:.1f}s")
 
     rs = np.random.RandomState(0)
     img = np.zeros((512, 512, 4), np.uint8)
@@ -293,8 +302,9 @@ def shape_stage():
     )
     from hunyuan3d2_tpu.volume.surface import Latent2MeshOutput
 
-    sphere_dev = build_sphere_device(octree)
-    log(f"sphere fixture built at t={time.perf_counter() - T0:.1f}s")
+    sphere_dev = None if surf_reuse else build_sphere_device(octree)
+    if sphere_dev is not None:
+        log(f"sphere fixture built at t={time.perf_counter() - T0:.1f}s")
     cap = active_capacity(octree)
     fcap = face_capacity(octree)
     # the production path (latents2mesh 'mesh' mode): fused compaction +
@@ -335,19 +345,20 @@ def shape_stage():
 
     # warmup (compiles; persistent cache makes re-runs cheap). Host allocator
     # arenas first-touch at ~100 MB/s on this host → run surface twice.
-    with stage_guard(min(1200, remaining() - 60), "shape warmup"):
+    with stage_guard(min(1200, remaining() - reserve), "shape warmup"):
         lat = run_latents(0)
         log(f"warmup latents done at t={time.perf_counter() - T0:.1f}s")
         run_decode(lat)
         log(f"warmup decode done at t={time.perf_counter() - T0:.1f}s")
-        run_surface(verbose=True)
-        run_surface(verbose=True)
-        log(f"warmup surface done at t={time.perf_counter() - T0:.1f}s")
+        if not surf_reuse:
+            run_surface(verbose=True)
+            run_surface(verbose=True)
+            log(f"warmup surface done at t={time.perf_counter() - T0:.1f}s")
 
     n_runs = 3
     t_lat, t_dec, t_surf = [], [], []
     out = None
-    with stage_guard(min(600, remaining() - 30), "shape measure"):
+    with stage_guard(min(600, remaining() - reserve // 2), "shape measure"):
         for i in range(n_runs):
             t0 = time.perf_counter()
             lat = run_latents(i + 1)
@@ -355,9 +366,12 @@ def shape_stage():
             t0 = time.perf_counter()
             run_decode(lat)
             t_dec.append(time.perf_counter() - t0)
-        for i in range(n_runs):
-            out, transfer_s = run_surface()
-            t_surf.append(transfer_s)
+        if surf_reuse:
+            out, t_surf = surf_reuse[0], [surf_reuse[1]]
+        else:
+            for i in range(n_runs):
+                out, transfer_s = run_surface()
+                t_surf.append(transfer_s)
     assert out is not None and len(out.mesh_v) > 0
 
     lat_sec, dec_sec, surf_sec = median(t_lat), median(t_dec), median(t_surf)
@@ -381,7 +395,7 @@ def shape_stage():
 
             # 5-step CFG DiT: batch 2, joint sequence latents+cond tokens
             mcfg = pipe.model_cfg
-            T = 512 + cond.shape[1]
+            T = pipe.vae.cfg.num_latents + cond.shape[1]
             n_attn = mcfg.depth + mcfg.depth_single_blocks
             dit_flops = 5 * 2 * (2 * n_params(pipe.model_params) * T
                                  + 4 * T * T * mcfg.hidden_size * n_attn)
@@ -424,7 +438,7 @@ def shape_stage():
         log(f"mfu accounting skipped: {e!r}")
 
     record = {
-        "metric": "shape_gen_e2e_sec_mini5step_octree384",
+        "metric": metric,
         "value": round(shape_sec, 4),
         "unit": "s",
         "vs_baseline": round(10.0 / shape_sec, 3),
@@ -440,7 +454,14 @@ def shape_stage():
         # comes from the analytic sphere grid (random weights decode to a
         # noise SDF — see module docstring)
         "composition": "cond+dit+decode+mesh real; transferred mesh from "
-                       "sphere fixture",
+                       "sphere fixture"
+                       + (" (transfer reused from mini stage — fixture and "
+                          "transfer cost depend only on octree)"
+                          if surf_reuse else ""),
+        "model": size,
+        "dit_params_m": round(sum(
+            int(x.size) for x in jax.tree.leaves(pipe.model_params)) / 1e6, 1),
+        "vae_latents": int(pipe.vae.cfg.num_latents),
         **mfu,
     }
     return record, pipe, out, image
@@ -679,6 +700,119 @@ def single_pass_stage(paint, image):
         "note": "noise-SDF mesh from random weights (zero-egress); "
                 "actives capped at decoder capacity — cost upper bound; "
                 "value = median of complete passes",
+    }, paint2
+
+
+def standard_stage(paint_resident, image, out, transfer_sec, postprocess_sec):
+    """Reference STANDARD-path record (VERDICT r4 #5): 50-step shape sampling
+    (pipelines.py:684-693 default num_inference_steps=50) + 30-step
+    EulerAncestral paint (multiview_utils.py:92 default). Stage-sum like the
+    turbo headline: cond+dit(50)+decode measured on real model outputs,
+    surface transfer + postprocess reused (octree/mesh-size-dependent only),
+    paint(30, EulerAncestral) measured on the fixture mesh."""
+    import gc
+
+    import jax
+    import numpy as np
+
+    from hunyuan3d2_tpu.geometry.mesh import Mesh
+    from hunyuan3d2_tpu.geometry.postprocess import (
+        DegenerateFaceRemover,
+        FaceReducer,
+        FloaterRemover,
+    )
+    from hunyuan3d2_tpu.models import shapevae as sv
+    from hunyuan3d2_tpu.pipelines.shapegen import Hunyuan3DDiTFlowMatchingPipeline
+    from hunyuan3d2_tpu.pipelines.texgen import Hunyuan3DPaintPipeline
+
+    # paint stack down, shape stack up (untimed: serving startup)
+    paint_resident.models["multiview_model"].pipeline.unet_params = None
+    paint_resident.models["multiview_model"].pipeline.vae_params = None
+    gc.collect()
+    pipe = Hunyuan3DDiTFlowMatchingPipeline.init_random(
+        jax.random.PRNGKey(0), size=SHAPE_SIZE, dino=DINO)
+    pipe.enable_flashvdm(True, mc_algo="dmc")
+    dec = pipe.vae.volume_decoder
+    log(f"standard: shape stack up at t={time.perf_counter() - T0:.1f}s")
+
+    steps = 5 if SMOKE else 50
+
+    def run50(seed):
+        lat = pipe(image=image, num_inference_steps=steps, guidance_scale=5.5,
+                   output_type="latents", seed=seed)
+        np.asarray(lat.ravel()[0])
+        return lat
+
+    def run_decode(lat):
+        hidden = sv._decode_latents_jit(pipe.vae.params, pipe.vae.cfg, lat)
+        kv = sv._compute_kv_jit(pipe.vae.params, pipe.vae.cfg, hidden)
+        o = sv._grid_decode_jit(
+            pipe.vae.params, pipe.vae.cfg, kv, "flashvdm", OCTREE, NUM_CHUNKS,
+            1.01, 0.0, dec.block, dec.capacity_frac, dec.coarse_factor,
+            "mesh", getattr(dec, "topk_mode", "mean"))
+        np.asarray(o[3])
+
+    with stage_guard(min(900, remaining() - 240), "standard shape"):
+        lat = run50(0)   # compiles the 50-step scan; decode program is warm
+        run_decode(lat)
+        log(f"standard: warmup done at t={time.perf_counter() - T0:.1f}s")
+        t_lat, t_dec = [], []
+        for i in range(3):
+            t0 = time.perf_counter()
+            lat = run50(i + 1)
+            t_lat.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            run_decode(lat)
+            t_dec.append(time.perf_counter() - t0)
+    lat_sec, dec_sec = median(t_lat), median(t_dec)
+    shape_sec = lat_sec + dec_sec + transfer_sec
+    log(f"standard shape done: {shape_sec:.2f}s (cond+dit50 {lat_sec:.2f} "
+        f"decode+mesh {dec_sec:.2f})")
+
+    # shape stack down, standard (EulerAncestral, 30-step) paint stack up
+    pipe.model_params = None
+    pipe.vae.params = None
+    pipe.conditioner.main.params = None
+    gc.collect()
+    paint = Hunyuan3DPaintPipeline.init_random(
+        jax.random.PRNGKey(1), size=PAINT_SIZE, view_size=VIEW,
+        render_size=RENDER, texture_size=TEXTURE,
+        num_inference_steps=3 if SMOKE else 30)
+    log(f"standard: paint stack up at t={time.perf_counter() - T0:.1f}s")
+    m = FloaterRemover()(Mesh(out.mesh_v, out.mesh_f))
+    m = DegenerateFaceRemover()(m)
+    m = FaceReducer()(m, max_facenum=40000)
+
+    paint_times = []
+    with stage_guard(remaining() - 30, "standard paint"):
+        paint(m, image)  # warmup (compiles the 30-step EA scan)
+        log(f"standard: paint warmup done at t={time.perf_counter() - T0:.1f}s")
+        for i in range(3):
+            t0 = time.perf_counter()
+            tex_mesh = paint(m, image)
+            paint_times.append(time.perf_counter() - t0)
+            if remaining() < 120:
+                break
+    paint_sec = median(paint_times)
+    log(f"standard paint done: {paint_sec:.2f}s (runs: "
+        + ", ".join(f"{t:.2f}" for t in paint_times) + ")")
+
+    total = shape_sec + postprocess_sec + paint_sec
+    return {
+        "metric": "image_to_textured_glb_e2e_sec_standard",
+        "value": round(total, 4),
+        "unit": "s",
+        "vs_baseline": round(10.0 / total, 3),
+        "shape_steps": steps,
+        "paint_steps": 3 if SMOKE else 30,
+        "paint_scheduler": "euler_ancestral",
+        "cond_dit_sec": round(lat_sec, 4),
+        "decode_mesh_sec": round(dec_sec, 4),
+        "mesh_transfer_sec": round(transfer_sec, 4),
+        "postprocess_sec": round(postprocess_sec, 4),
+        "paint_sec": round(paint_sec, 4),
+        "composition": "cond+dit+decode real; surface/postprocess/paint on "
+                       "the sphere-fixture mesh (stage-sum, not one pass)",
     }
 
 
@@ -694,6 +828,37 @@ def main():
     log_cache_state("after shape")
     # print the shape milestone NOW — a texture blowup can't zero the round
     emit(record)
+
+    # ---- v2-0 flagship shape record (VERDICT r4 #1) -------------------------
+    # FULL 1.1B DiT + 3072-latent ShapeVAE — the reference default config
+    # (pipelines.py:470-485) — same 5-step turbo + FlashVDM 'mean' schedule.
+    # Budget-gated and best-effort: the turbo e2e headline stands regardless.
+    v20_size = "tiny" if SMOKE else "full"
+    if remaining() > 1100 or SMOKE:
+        try:
+            # this chip's HBM cannot hold both stacks: drop the mini params
+            # (the texture stage re-derives nothing from them; `out` is the
+            # already-transferred fixture mesh)
+            import gc
+
+            pipe.model_params = None
+            pipe.vae.params = None
+            pipe.conditioner.main.params = None
+            gc.collect()
+            v20, pipe, _, _ = shape_stage(
+                size=v20_size,
+                metric=f"shape_gen_e2e_sec_v20_5step_octree{OCTREE}",
+                surf_reuse=(out, record["mesh_transfer_sec"]),
+                reserve=720 if not SMOKE else 60)
+            emit(v20, best=False)
+            log_cache_state("after v20 shape")
+        except Exception:
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            log("v20 shape stage failed — continuing with the texture stage")
+    else:
+        log(f"skipping v20 shape stage: {remaining():.0f}s left of budget")
 
     if remaining() < 240:
         log(f"skipping texture stage: {remaining():.0f}s left of budget")
@@ -719,10 +884,11 @@ def main():
 
     # one true single-pass run (VERDICT r3 #3); best-effort — the stage-sum
     # record above stands regardless
+    paint_resident = paint
     if remaining() > 300:
         try:
             with stage_guard(remaining() - 30, "single pass"):
-                sp = single_pass_stage(paint, image)
+                sp, paint_resident = single_pass_stage(paint, image)
             emit(sp, best=False)
             full = dict(full)
             full["single_pass_sec"] = sp["value"]
@@ -735,6 +901,23 @@ def main():
             emit(full)  # keep the headline the last line
     else:
         log(f"skipping single-pass: {remaining():.0f}s left of budget")
+
+    # reference STANDARD path (50-step shape + 30-step EulerAncestral paint,
+    # VERDICT r4 #5); best-effort — the turbo headline stands regardless
+    if remaining() > 700 or SMOKE:
+        try:
+            std = standard_stage(paint_resident, image, out,
+                                 record["mesh_transfer_sec"],
+                                 tex["postprocess_sec"])
+            emit(std, best=False)
+            emit(full)  # keep the turbo headline the authoritative last line
+        except Exception:
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            emit(full)
+    else:
+        log(f"skipping standard-path stage: {remaining():.0f}s of budget")
 
 
 if __name__ == "__main__":
