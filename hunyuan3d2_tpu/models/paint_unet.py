@@ -123,6 +123,52 @@ def compute_multi_resolution_mask(position_maps: Array,
     return masks
 
 
+def compute_discrete_voxel_indice(position: Array, grid_resolution: int = 8,
+                                  voxel_resolution: int = 128) -> Array:
+    """Quantized voxel indices per pooled grid cell (parity: unet/modules.py
+    compute_discrete_voxel_indice :358-388): same valid-pixel pooling as the
+    mask, then round the mean position onto a voxel_resolution³ lattice.
+
+    position: [B, N, H, W, 3] in [0,1] (1 ⇒ background). → int32
+    [B, N, g, g, 3]. The reference plumbs these through cross_attention_kwargs
+    to the multiview Attention call (modules.py:215-224) where a stock
+    processor ignores them — the voxel-locality masking actually in effect is
+    the boolean mask path (compute_multi_resolution_mask); we keep index
+    computation for checkpoint-config completeness.
+
+    Pooling runs in float16 like the reference (it casts to .half() up
+    front): the quantized indices are bit-compared in the parity test, and
+    fp32 pooling flips ~3% of cells across the round-to-lattice boundary."""
+    b, n, h, w, _ = position.shape
+    g = grid_resolution
+    position = position.astype(jnp.float16)
+    valid = (position != 1.0).all(axis=-1, keepdims=True)
+    pos = jnp.where(valid, position, jnp.float16(0.0))
+    ph, pw = h // g, w // g
+    pos = pos.reshape(b, n, g, ph, g, pw, 3).sum(axis=(3, 5))
+    cnt = valid.astype(jnp.float16).reshape(b, n, g, ph, g, pw, 1).sum(axis=(3, 5))
+    grid_pos = pos / jnp.maximum(cnt, jnp.float16(1.0))
+    grid_pos = jnp.where(cnt < 5, jnp.float16(0.0), grid_pos)   # [B,N,g,g,3]
+    grid_pos = jnp.clip(grid_pos, 0.0, 1.0)
+    return jnp.round(grid_pos * jnp.float16(voxel_resolution - 1)
+                     ).astype(jnp.int32)
+
+
+def compute_multi_resolution_discrete_voxel_indice(
+        position_maps: Array, grid_resolutions=(64, 32, 16, 8),
+        voxel_resolutions=(512, 256, 128, 64)) -> dict:
+    """Parity: modules.py compute_multi_resolution_discrete_voxel_indice
+    :390-402. Returns {token_count: {'voxel_indices': [B, N·g², 3] int32,
+    'voxel_resolution': int}} keyed by multiview sequence length."""
+    out = {}
+    for g, vr in zip(grid_resolutions, voxel_resolutions):
+        idx = compute_discrete_voxel_indice(position_maps, g, vr)
+        b, n = idx.shape[:2]
+        flat = idx.reshape(b, n * g * g, 3)
+        out[flat.shape[1]] = {"voxel_indices": flat, "voxel_resolution": vr}
+    return out
+
+
 def sd_timestep_embedding(t: Array, dim: int, max_period: float = 10000.0) -> Array:
     """diffusers Timesteps with flip_sin_to_cos=True, shift=0: [cos|sin]."""
     half = dim // 2
