@@ -18,9 +18,11 @@ RANDOM = os.environ.get("HY3D_RANDOM_WEIGHTS", "0") == "1"
 if RANDOM:
     pipeline = Hunyuan3DDiTFlowMatchingPipeline.init_random(
         jax.random.PRNGKey(0), size="tiny", dino="tiny")
+    octree = 64
 else:
     pipeline = Hunyuan3DDiTFlowMatchingPipeline.from_pretrained(
         "tencent/Hunyuan3D-2", subfolder="hunyuan3d-dit-v2-0-turbo")
+    octree = 380
 pipeline.enable_flashvdm(True, mc_algo="dmc")
 
 image_path = sys.argv[1] if len(sys.argv) > 1 else None
@@ -34,7 +36,7 @@ else:
     image = Image.fromarray(arr)
 
 start = time.time()
-mesh = pipeline(image=image, num_inference_steps=5, octree_resolution=380,
+mesh = pipeline(image=image, num_inference_steps=5, octree_resolution=octree,
                 num_chunks=200000, seed=12345)[0]
 print("--- %s seconds ---" % (time.time() - start))
 mesh.export("fast_shape_gen.glb")

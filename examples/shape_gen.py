@@ -17,9 +17,11 @@ RANDOM = os.environ.get("HY3D_RANDOM_WEIGHTS", "0") == "1"
 if RANDOM:
     pipeline = Hunyuan3DDiTFlowMatchingPipeline.init_random(
         jax.random.PRNGKey(0), size="tiny", dino="tiny")
+    steps, octree = 5, 64
 else:
     pipeline = Hunyuan3DDiTFlowMatchingPipeline.from_pretrained(
         "tencent/Hunyuan3D-2", subfolder="hunyuan3d-dit-v2-0")
+    steps, octree = 50, 380
 
 image_path = sys.argv[1] if len(sys.argv) > 1 else None
 if image_path:
@@ -32,7 +34,7 @@ else:
     image = Image.fromarray(arr)
 
 start = time.time()
-mesh = pipeline(image=image, num_inference_steps=50, octree_resolution=380,
-                num_chunks=20000, seed=12345)[0]
+mesh = pipeline(image=image, num_inference_steps=steps,
+                octree_resolution=octree, num_chunks=20000, seed=12345)[0]
 print("--- %s seconds ---" % (time.time() - start))
 mesh.export("shape_gen.glb")

@@ -24,10 +24,12 @@ if RANDOM:
         DinoImageEncoderMV(pipeline.conditioner.main.params,
                            pipeline.conditioner.main.cfg))
     pipeline.image_processor = MVImageProcessorV2()
+    steps, octree = 5, 64
 else:
     pipeline = Hunyuan3DDiTFlowMatchingPipeline.from_pretrained(
         "tencent/Hunyuan3D-2mv", subfolder="hunyuan3d-dit-v2-mv")
     pipeline.image_processor = MVImageProcessorV2()
+    steps, octree = 30, 256
 
 
 def _demo(color):
@@ -46,7 +48,7 @@ else:
              "back": _demo((60, 60, 200))}
 
 start = time.time()
-mesh = pipeline(image=views, num_inference_steps=30, octree_resolution=256,
-                seed=12345)[0]
+mesh = pipeline(image=views, num_inference_steps=steps,
+                octree_resolution=octree, seed=12345)[0]
 print("--- %s seconds ---" % (time.time() - start))
 mesh.export("shape_gen_mv.glb")
