@@ -23,17 +23,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-# Block sizes tuned on v5e (scripts/profile_flash_blocks.py): at the paint
-# UNet's multiview shape (24576 tokens, 5 heads, D=64) 512×1024 runs ~3.5x
-# faster than 256×256 once the ~28 ms remote-dispatch floor is subtracted;
-# smaller shapes are insensitive. VMEM at 512/1024/D=128 stays < 1 MB.
-DEFAULT_BQ = 512
+# Block sizes tuned on v5e by device trace (scripts/profile_flash_variants
+# .py; wall-clock through the axon tunnel carries a ~30 ms sync floor, so
+# tuning uses jax.profiler device times): at the paint UNet's multiview
+# shape (24576 tokens, 5 heads, D=64) 2048×1024 reaches MFU 0.41 vs 0.35
+# at 512×1024; 2048×2048 and 4096×1024 exceed VMEM (fp32 score/p tiles are
+# BQ·BK·4 B ×2). Shorter sequences cap BQ/BK to the 128-rounded length.
+DEFAULT_BQ = 2048
 DEFAULT_BK = 1024
+# the masked kernel adds a [BQ, BK] mask tile on top of the two fp32
+# [BQ, BK] score/p tiles; bq=2048 overflows the 16 MB scoped-VMEM limit
+# (measured 19 MB), so it stays at 1024 (≈9.5 MB)
+DEFAULT_BQ_MASKED = 1024
 NEG_INF = -1e30
 
 
+def _cap_block(block: int, length: int) -> int:
+    """Largest useful block ≤ ``block`` for ``length`` rows: the 128-rounded
+    length when the sequence is shorter than one block (a 1370-token q with
+    bq=2048 would otherwise make an unaligned 1370-row block)."""
+    return min(block, max(128, -(-length // 128) * 128))
+
+
 def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-            scale: float, kv_len: int, bk: int):
+            kv_len: int, bk: int, need_colmask: bool):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -43,17 +56,19 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]                      # [BQ, D]
+    q = q_ref[0]                      # [BQ, D] (scale pre-folded into q)
     k = k_ref[0]                      # [BK, D]
     v = v_ref[0]                      # [BK, D]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale         # [BQ, BK]
+        preferred_element_type=jnp.float32)                 # [BQ, BK]
 
-    # mask padded kv columns
-    col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    if need_colmask:
+        # mask padded kv columns (only present when bk does not divide L —
+        # the where/iota costs ~3 VPU passes over [BQ, BK] per grid step)
+        col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
 
     m_prev = m_scr[:]                                        # [BQ, 1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -73,7 +88,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
 
 
 def _kernel_masked(q_ref, k_ref, v_ref, msk_ref, o_ref, m_scr, l_scr,
-                   acc_scr, *, scale: float, kv_len: int, bk: int):
+                   acc_scr, *, kv_len: int, bk: int, need_colmask: bool):
     """_kernel plus a boolean [BQ, BK] attention-mask block (the paint
     UNet's turbo voxel-locality mask): masked scores pin to NEG_INF, and p
     is forced to 0 where masked so a row whose first k-blocks are fully
@@ -95,9 +110,11 @@ def _kernel_masked(q_ref, k_ref, v_ref, msk_ref, o_ref, m_scr, l_scr,
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale         # [BQ, BK]
-    col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    allowed = msk_ref[0] & (col < kv_len)
+        preferred_element_type=jnp.float32)                 # [BQ, BK]
+    allowed = msk_ref[0] != 0      # mask ships as int8 (bool would be
+    if need_colmask:               # DMA'd as 4-byte int32 tiles)
+        col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        allowed = allowed & (col < kv_len)
     s = jnp.where(allowed, s, NEG_INF)
 
     m_prev = m_scr[:]
@@ -135,10 +152,13 @@ def _flash_masked(q: Array, k: Array, v: Array, mask: Array, scale: float,
     if mask.shape[1:] != (lq_p, lk_p):
         mask = jnp.pad(mask, ((0, 0), (0, lq_p - mask.shape[1]),
                               (0, lk_p - mask.shape[2])))
+    mask = mask.astype(jnp.int8)
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
 
     grid = (n, lq_p // bq, lk_p // bk)
     out = pl.pallas_call(
-        functools.partial(_kernel_masked, scale=scale, kv_len=lk, bk=bk),
+        functools.partial(_kernel_masked, kv_len=lk, bk=bk,
+                          need_colmask=lk_p != lk),
         out_shape=jax.ShapeDtypeStruct((n, lq_p, d), q.dtype),
         grid=grid,
         in_specs=[
@@ -154,13 +174,16 @@ def _flash_masked(q: Array, k: Array, v: Array, mask: Array, scale: float,
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, d), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(q, k, v, mask)
     return out[:, :lq]
 
 
 def flash_attention_masked(q: Array, k: Array, v: Array, mask: Array,
                            scale: float | None = None,
-                           bq: int = DEFAULT_BQ, bk: int = DEFAULT_BK) -> Array:
+                           bq: int = DEFAULT_BQ_MASKED,
+                           bk: int = DEFAULT_BK) -> Array:
     """Masked flash attention. q/k/v: [B, H, L, D]; mask: [B, Lq, Lk] bool
     (True = attend), shared across heads — the paint UNet's voxel-locality
     multiview mask. Keeps the O(L²) mask out of fp32 logits form: XLA sdpa
@@ -173,8 +196,8 @@ def flash_attention_masked(q: Array, k: Array, v: Array, mask: Array,
     qf = q.reshape(b * h, lq, d)
     kf = k.reshape(b * h, lk, d)
     vf = v.reshape(b * h, lk, d)
-    bq = min(bq, max(128, lq))
-    bk = min(bk, max(128, lk))
+    bq = _cap_block(bq, lq)
+    bk = _cap_block(bk, lk)
     out = _flash_masked(qf, kf, vf, mask, float(scale), int(bq), int(bk), h)
     return out.reshape(b, h, lq, d)
 
@@ -192,10 +215,11 @@ def _flash(q: Array, k: Array, v: Array, scale: float, bq: int, bk: int) -> Arra
     if lk_p != lk:
         k = jnp.pad(k, ((0, 0), (0, lk_p - lk), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, lk_p - lk), (0, 0)))
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
 
     grid = (n, lq_p // bq, lk_p // bk)
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, kv_len=lk, bk=bk),
+        functools.partial(_kernel, kv_len=lk, bk=bk, need_colmask=lk_p != lk),
         out_shape=jax.ShapeDtypeStruct((n, lq_p, d), q.dtype),
         grid=grid,
         in_specs=[
@@ -209,6 +233,8 @@ def _flash(q: Array, k: Array, v: Array, scale: float, bq: int, bk: int) -> Arra
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, d), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(q, k, v)
     return out[:, :lq]
 
@@ -223,7 +249,7 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float | None = None,
     qf = q.reshape(b * h, lq, d)
     kf = k.reshape(b * h, lk, d)
     vf = v.reshape(b * h, lk, d)
-    bq = min(bq, max(128, lq))
-    bk = min(bk, max(128, lk))
+    bq = _cap_block(bq, lq)
+    bk = _cap_block(bk, lk)
     out = _flash(qf, kf, vf, float(scale), int(bq), int(bk))
     return out.reshape(b, h, lq, d)
