@@ -82,6 +82,17 @@ def _pil_to_array_u8(img, size: Optional[int] = None) -> np.ndarray:
     return arr
 
 
+@functools.partial(jax.jit, static_argnames=("vcfg",))
+def _encode_jit(vae_params, vcfg, flat):
+    """One fused VAE-encode program (u8 normalize + encoder). Eager
+    sd_vae.encode ran op-by-op — hundreds of unfused dispatches (unfused
+    GroupNorms are pure HBM traffic) over the remote tunnel."""
+    if flat.dtype == jnp.uint8:
+        flat = flat.astype(jnp.bfloat16) / 255.0
+    flat = flat.astype(jnp.bfloat16) * 2.0 - 1.0
+    return sd_vae.encode(vae_params, vcfg, flat)
+
+
 @functools.partial(jax.jit, static_argnames=("ucfg", "vcfg", "do_cfg", "guidance_scale"))
 def _denoise_loop(unet_params, ucfg, vae_params, vcfg, key,
                   ref_latents, normal_latents, position_latents,
@@ -249,10 +260,7 @@ class HunyuanPaintPipeline:
         mode). uint8 input normalizes ON DEVICE (cheap tunnel upload)."""
         b, n = images01.shape[:2]
         flat = jnp.asarray(images01.reshape((b * n,) + images01.shape[2:]))
-        if flat.dtype == jnp.uint8:
-            flat = flat.astype(jnp.bfloat16) / 255.0
-        flat = flat.astype(jnp.bfloat16) * 2.0 - 1.0
-        lat = sd_vae.encode(self.vae_params, self.vae_cfg, flat)
+        lat = _encode_jit(self.vae_params, self.vae_cfg, flat)
         return lat.reshape((b, n) + lat.shape[1:]).astype(jnp.float32)
 
     # -- main -------------------------------------------------------------------
