@@ -155,38 +155,273 @@ def _smooth_buckets(fn: np.ndarray, bucket: np.ndarray, nbr: np.ndarray,
     return bucket
 
 
-def _shelf_pack(sizes: np.ndarray, margin: float):
-    """Pack rectangles (w,h) into the unit square. Returns (offsets [N,2],
-    scale) — positions of each rect's lower-left corner after scaling."""
+# charts above this count skip the O(N·S) skyline and use the O(N log N)
+# rotated-shelf packer (fragmented meshes produce thousands of tiny charts
+# and the unwrap runs on the serving path, overlapped with the denoise)
+SKYLINE_MAX_CHARTS = 800
 
-    def try_pack(scale):
-        order = np.argsort(-sizes[:, 1])  # tallest first
-        x = y = shelf_h = 0.0
-        pos = np.zeros((len(sizes), 2))
-        for i in order:
-            w = sizes[i, 0] * scale + 2 * margin
-            h = sizes[i, 1] * scale + 2 * margin
-            if w > 1.0 or h > 1.0:
-                return None
-            if x + w > 1.0:
-                y += shelf_h
-                x = 0.0
-                shelf_h = 0.0
-            if y + h > 1.0:
-                return None
-            pos[i] = (x + margin, y + margin)
-            x += w
-            shelf_h = max(shelf_h, h)
-        return pos
 
+def _try_shelf(dims: np.ndarray, scale: float, margin: float):
+    """Tallest-first shelf pack at a fixed scale. dims: [N,2] (callers pass
+    portrait-rotated w ≤ h sizes). → pos [N,2] or None."""
+    order = np.argsort(-dims[:, 1])
+    x = y = shelf_h = 0.0
+    pos = np.zeros((len(dims), 2))
+    for i in order:
+        w = dims[i, 0] * scale + 2 * margin
+        h = dims[i, 1] * scale + 2 * margin
+        if w > 1.0 or h > 1.0:
+            return None
+        if x + w > 1.0:
+            y += shelf_h
+            x = 0.0
+            shelf_h = 0.0
+        if y + h > 1.0:
+            return None
+        pos[i] = (x + margin, y + margin)
+        x += w
+        shelf_h = max(shelf_h, h)
+    return pos
+
+
+def _try_skyline(sizes: np.ndarray, scale: float, margin: float):
+    """Bottom-left skyline pack with a per-rect 90°-rotation choice (the
+    xatlas-style packer). sizes: [N,2] raw chart bboxes.
+    → (pos [N,2], rot [N] bool) or None when this scale doesn't fit."""
+    n = len(sizes)
+    order = np.argsort(-(sizes.max(axis=1)))
+    pos = np.zeros((n, 2))
+    rot = np.zeros(n, bool)
+    # skyline as breakpoints: segment i spans [xs[i], xs[i+1]) (last → 1.0)
+    # at height ys[i]
+    xs = [0.0]
+    ys = [0.0]
+    eps = 1e-12
+
+    def best_spot(w, h):
+        """Lowest-then-leftmost placement for a w×h rect, or None."""
+        best = None
+        m = len(xs)
+        for i in range(m):
+            x = xs[i]
+            if x + w > 1.0 + eps:
+                break
+            y = ys[i]
+            j = i + 1
+            while j < m and xs[j] < x + w - eps:
+                y = max(y, ys[j])
+                j += 1
+            if y + h <= 1.0 + eps and (best is None or (y, x) < best):
+                best = (y, x)
+        return best
+
+    def place(x, w, y_new):
+        """Raise the skyline over [x, x+w) to y_new (rebuild by sampling
+        heights at merged breakpoints)."""
+        nonlocal xs, ys
+        x_end = min(x + w, 1.0)
+        pts = sorted(set(xs) | {x, x_end})
+
+        def h_at(px):
+            i = max(int(np.searchsorted(xs, px + 1e-15)) - 1, 0)
+            return ys[i]
+
+        nxs, nys = [], []
+        for px in pts:
+            if px >= 1.0 - eps:
+                continue
+            hh = y_new if (x - eps <= px < x_end - eps) else h_at(px)
+            if nys and abs(nys[-1] - hh) < eps:
+                continue
+            nxs.append(px)
+            nys.append(hh)
+        xs, ys = nxs, nys
+
+    for i in order:
+        w0 = sizes[i, 0] * scale + 2 * margin
+        h0 = sizes[i, 1] * scale + 2 * margin
+        cands = []
+        s0 = best_spot(w0, h0)
+        if s0 is not None:
+            cands.append((s0[0] + h0, s0[0], s0[1], False, w0, h0))
+        if abs(w0 - h0) > eps:
+            s1 = best_spot(h0, w0)
+            if s1 is not None:
+                cands.append((s1[0] + w0, s1[0], s1[1], True, h0, w0))
+        if not cands:
+            return None
+        _, y, x, r, w, h = min(cands)
+        pos[i] = (x + margin, y + margin)
+        rot[i] = r
+        place(x, w, y + h)
+    return pos, rot
+
+
+# raster packing (FFT placement search) costs ~20-40 ms per chart; above
+# this chart count fall back to the bbox skyline
+RASTER_MAX_CHARTS = 160
+
+
+def _rasterize_chart(pts: np.ndarray, tris: np.ndarray, s: float, grid: int,
+                     mcells: int) -> np.ndarray:
+    """Chart footprint bitmap at ``grid`` cells per unit-canvas axis, dilated
+    by the margin (+1 cell against raster quantization). pts: local uv with
+    min at 0."""
+    import cv2
+
+    w = float(pts[:, 0].max())
+    h = float(pts[:, 1].max())
+    pad = mcells + 1
+    cw = int(np.ceil(w * s * grid)) + 2 * pad + 1
+    ch = int(np.ceil(h * s * grid)) + 2 * pad + 1
+    img = np.zeros((ch, cw), np.uint8)
+    ipts = np.round(pts * (s * grid)).astype(np.int32) + pad
+    cv2.fillPoly(img, [ipts[t] for t in tris], 1)
+    k = 2 * pad + 1
+    img = cv2.dilate(img, np.ones((k, k), np.uint8))
+    return img.astype(bool)
+
+
+def _raster_pack(sizes: np.ndarray, margin: float, footprints, grid: int = 512):
+    """xatlas-style raster packing: each chart is placed by its rasterized
+    footprint — an FFT-backed cv2.matchTemplate correlation against the
+    atlas bitmap finds the lowest collision-free spot, trying both 90°
+    orientations — so charts nest into voids and concavities. Bbox packers
+    cap occupancy at bbox_fill × bbox_packing ≈ 0.4 in practice; thin
+    curved charts (a bevel ring) fill < 0.3 of their bbox. A scale search
+    re-packs until the square canvas is tightly filled.
+
+    footprints: per chart (pts [M,2] local uv with min 0, tris [T,3] local).
+    Returns (offsets [N,2], scale, rot [N] bool)."""
+    import cv2
+
+    sizes = np.asarray(sizes, np.float64)
+    n = len(sizes)
     total = float((sizes[:, 0] * sizes[:, 1]).sum())
-    scale = 0.85 / max(np.sqrt(total), 1e-12)
-    for _ in range(40):
-        pos = try_pack(scale)
-        if pos is not None:
-            return pos, scale
-        scale *= 0.93
-    raise RuntimeError("UV packing failed")
+    mcells = max(1, int(round(margin * grid)))
+    pad = mcells + 1
+    W = grid
+    order = np.argsort(-(sizes.max(axis=1)))
+
+    def pack_at(s):
+        """→ (pos_cells, rot, h_used) — packs every chart (open-top canvas),
+        or None when a chart exceeds the canvas in some dimension."""
+        atlas = np.zeros((2 * grid, W), np.uint8)
+        pos = np.zeros((n, 2), np.int64)
+        rot = np.zeros(n, bool)
+        h_used = 0
+        for i in order:
+            pts, tris = footprints[i]
+            best = None
+            for r in (False, True):
+                p = pts if not r else np.stack(
+                    [sizes[i, 1] - pts[:, 1], pts[:, 0]], axis=1)
+                bm = _rasterize_chart(p, tris, s, grid, mcells)
+                ch, cw = bm.shape
+                if cw > W or ch > atlas.shape[0]:
+                    continue
+                # free spots: zero correlation between the atlas band and
+                # the footprint; placing at y == h_used is always free, so
+                # the band up to h_used + ch always yields a spot
+                band_h = min(h_used + ch, atlas.shape[0])
+                res = cv2.matchTemplate(atlas[:band_h], bm.astype(np.uint8),
+                                        cv2.TM_CCORR)
+                ys, xs = np.nonzero(res < 0.5)
+                if len(ys) == 0:
+                    continue
+                j = np.lexsort((xs, ys))[0]
+                y, x = int(ys[j]), int(xs[j])
+                if best is None or (y + ch, y, x) < best[:3]:
+                    best = (y + ch, y, x, r, bm)
+            if best is None:
+                return None
+            _, y, x, r, bm = best
+            ch, cw = bm.shape
+            atlas[y:y + ch, x:x + cw] |= bm
+            h_used = max(h_used, y + ch)
+            pos[i] = (x, y)
+            rot[i] = r
+        return pos, rot, h_used
+
+    # scale search: descend until the packing fits the square canvas, then
+    # one growth probe if there's slack (h_used ≪ grid wastes the top band)
+    s = min(0.95 / max(np.sqrt(total), 1e-12),
+            0.9 * (W - 2 * pad) / grid / max(float(sizes.max()), 1e-12))
+    fit = None
+    for _ in range(8):
+        r = pack_at(s)
+        if r is not None and r[2] <= grid:
+            fit = (s, r)
+            break
+        shrink = 0.9 if r is None else min(0.97, np.sqrt(grid / r[2]))
+        s *= shrink
+    if fit is None:
+        raise RuntimeError("raster UV packing failed")
+    s0, r0 = fit
+    if r0[2] < 0.93 * grid:
+        s_try = s0 * min(1.25, 0.98 * np.sqrt(grid / max(r0[2], 1)))
+        r = pack_at(s_try)
+        if r is not None and r[2] <= grid:
+            fit = (s_try, r)
+    s, (pos, rot, _) = fit
+    return (pos + pad) / grid, s, rot
+
+
+def _pack_charts(sizes: np.ndarray, margin: float, footprints=None):
+    """Pack chart bboxes (w,h) into the unit square, maximizing occupancy.
+    With ``footprints`` and ≤ RASTER_MAX_CHARTS charts, uses the xatlas-style
+    raster packer; otherwise a skyline (≤ SKYLINE_MAX_CHARTS) or rotated
+    shelf with a bisection on the global scale. Returns (offsets [N,2],
+    scale, rot [N] bool) — rot marks charts placed 90°-rotated (the caller
+    maps local (u,v) → (h−v, u) for those)."""
+    if footprints is not None and len(sizes) <= RASTER_MAX_CHARTS:
+        try:
+            return _raster_pack(np.asarray(sizes, np.float64), margin,
+                                footprints)
+        except Exception:
+            pass  # bbox packers below are the fallback
+    sizes = np.asarray(sizes, np.float64)
+    n = len(sizes)
+    total = float((sizes[:, 0] * sizes[:, 1]).sum())
+    s_hi = 1.0 / max(np.sqrt(total), 1e-12)     # occupancy-1 upper bound
+
+    if n <= SKYLINE_MAX_CHARTS:
+        def attempt(s):
+            return _try_skyline(sizes, s, margin)
+    else:
+        landscape = sizes[:, 0] > sizes[:, 1]
+        dims = sizes.copy()
+        dims[landscape] = dims[landscape][:, ::-1]
+
+        def attempt(s):
+            p = _try_shelf(dims, s, margin)
+            return None if p is None else (p, landscape.copy())
+
+    # find a feasible scale by geometric descent, then bisect toward the
+    # tightest fit (the old packer stopped at the first success, leaving
+    # up to ~35% of the atlas empty)
+    s_lo, ok = None, None
+    s = 0.92 * s_hi
+    for _ in range(60):
+        r = attempt(s)
+        if r is not None:
+            s_lo, ok = s, r
+            break
+        s *= 0.9
+    if ok is None:
+        raise RuntimeError("UV packing failed")
+    hi = min(s_lo / 0.9, s_hi)
+    for _ in range(7):
+        mid = 0.5 * (s_lo + hi)
+        if mid <= s_lo * 1.005:
+            break
+        r = attempt(mid)
+        if r is not None:
+            s_lo, ok = mid, r
+        else:
+            hi = mid
+    pos, rot = ok
+    return pos, s_lo, rot
 
 
 def _grow_charts(fn: np.ndarray, areas: np.ndarray, nbr: np.ndarray,
@@ -1011,6 +1246,12 @@ def unwrap(vertices: np.ndarray, faces: np.ndarray, margin: float = 0.004,
     mins = np.zeros((n_charts, 2))
     gorder = np.argsort(src_chart, kind="stable")
     gbounds = np.searchsorted(src_chart[gorder], np.arange(n_charts + 1))
+    # per-chart triangle footprints (local uv + local tris) for the raster
+    # packer; only built when the chart count makes raster packing viable
+    build_fp = n_charts <= RASTER_MAX_CHARTS
+    footprints = [None] * n_charts if build_fp else None
+    forder = np.argsort(chart, kind="stable")
+    fbounds = np.searchsorted(chart[forder], np.arange(n_charts + 1))
     for c in range(n_charts):
         sel = gorder[gbounds[c]:gbounds[c + 1]]
         if len(sel) == 0:
@@ -1024,9 +1265,18 @@ def unwrap(vertices: np.ndarray, faces: np.ndarray, margin: float = 0.004,
         hi = u.max(0)
         mins[c] = lo
         sizes[c] = np.maximum(hi - lo, 1e-9)
+        if build_fp:
+            fsel = forder[fbounds[c]:fbounds[c + 1]]
+            ftris = np.searchsorted(vid, f[fsel].reshape(-1)).reshape(-1, 3)
+            footprints[c] = (uvc - lo, ftris)
 
-    pos, scale = _shelf_pack(sizes, margin)
-    uv = (uv2 - mins[src_chart]) * scale + pos[src_chart]
+    pos, scale, rot = _pack_charts(sizes, margin, footprints)
+    loc = uv2 - mins[src_chart]
+    r = rot[src_chart]
+    # 90° rotation (u,v) → (h−v, u): det +1, no mirroring
+    lu = np.where(r, sizes[src_chart, 1] - loc[:, 1], loc[:, 0])
+    lv = np.where(r, loc[:, 0], loc[:, 1])
+    uv = np.stack([lu, lv], axis=1) * scale + pos[src_chart]
     return (new_vertices.astype(np.float32), new_faces,
             uv.astype(np.float32), src_vertex)
 
