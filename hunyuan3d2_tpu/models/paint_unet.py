@@ -339,7 +339,13 @@ def _tblock(p, cfg: PaintUNetConfig, x: Array, context: Array, layer: str,
         bn, l, c = h.shape
         b = ref.shape[0]
         ref_rep = jnp.repeat(ref, bn // b, axis=0)            # [(B·N), Nr·L, C]
-        x = x + ref_scale * _attention(p["attn_refview"], h, ref_rep, heads)
+        out = _attention(p["attn_refview"], h, ref_rep, heads)
+        # scale in fp32, then PIN the residual stream dtype: ref_scale is a
+        # concrete f32 array (CFG path is per-batch), and `x + f32 * bf16`
+        # would promote x — and every downstream conv/attention — to f32
+        # (half MXU rate, 2x HBM) for the rest of the UNet
+        x = x + (jnp.asarray(ref_scale, jnp.float32)
+                 * out.astype(jnp.float32)).astype(x.dtype)
 
     if num_views > 1 and cfg.use_multiview_attention and mode == "r":
         bn, l, c = h.shape
@@ -347,7 +353,8 @@ def _tblock(p, cfg: PaintUNetConfig, x: Array, context: Array, layer: str,
         # turbo voxel-locality mask for this sequence length, if provided
         mask = (mva_masks or {}).get(num_views * l)
         out = _attention(p["attn_multiview"], mv, mv, heads, mask=mask)
-        x = x + mva_scale * out.reshape(bn, l, c)
+        x = x + (jnp.asarray(mva_scale, jnp.float32)
+                 * out.reshape(bn, l, c).astype(jnp.float32)).astype(x.dtype)
 
     h = layer_norm(x, p["norm2"]["scale"], p["norm2"]["bias"], eps=1e-5)
     if ip_context is not None and "to_k_ip" in p["attn2"]:

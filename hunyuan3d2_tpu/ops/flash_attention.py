@@ -249,6 +249,8 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float | None = None,
     qf = q.reshape(b * h, lq, d)
     kf = k.reshape(b * h, lk, d)
     vf = v.reshape(b * h, lk, d)
+    if q.dtype.itemsize >= 4:
+        bq = min(bq, 1024)   # f32 tiles double VMEM; 2048 blocks overflow
     bq = _cap_block(bq, lq)
     bk = _cap_block(bk, lk)
     out = _flash(qf, kf, vf, float(scale), int(bq), int(bk))
