@@ -313,7 +313,15 @@ def _raster_pack(sizes: np.ndarray, margin: float, footprints, grid: int = 512):
         for i in order:
             pts, tris = footprints[i]
             best = None
-            for r in (False, True):
+            if h_used == 0:
+                # empty atlas: (0,0) is optimal — skip the correlation
+                # search and the rotation candidate (rasterizing a 40k-tri
+                # chart twice per scale attempt dominated few-chart packs)
+                bm = _rasterize_chart(pts, tris, s, grid, mcells)
+                ch, cw = bm.shape
+                if cw <= W and ch <= atlas.shape[0]:
+                    best = (ch, 0, 0, False, bm)
+            for r in () if best is not None else (False, True):
                 p = pts if not r else np.stack(
                     [sizes[i, 1] - pts[:, 1], pts[:, 0]], axis=1)
                 bm = _rasterize_chart(p, tris, s, grid, mcells)

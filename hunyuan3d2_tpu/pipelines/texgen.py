@@ -192,6 +192,7 @@ class Hunyuan3DPaintPipeline:
             return None, None
         from hunyuan3d2_tpu.geometry.render_tpu import (
             bake_tpu_prepared,
+            check_prepared_overflow,
             cond_maps_tpu,
             prepare_bake_tpu,
             upload_mesh,
@@ -260,6 +261,22 @@ class Hunyuan3DPaintPipeline:
         up_res = int(os.environ.get(
             "HY3D_BAKE_UPRES",
             min(max(self.render.default_resolution), 4 * view_size)))
+        # bake phase A (UV geometry + per-view weight/index maps) is
+        # color-independent, so it DISPATCHES behind the running denoise
+        # (the device runs one stream in order, so execution doesn't
+        # overlap, but the ~6 program dispatches + their transfers ride the
+        # tunnel while the denoise computes, and the deferred overflow
+        # check avoids blocking the host). HY3D_BAKE_OVERLAP=0 restores
+        # the fully serialized order.
+        overlap = os.environ.get("HY3D_BAKE_OVERLAP", "1") == "1"
+        geom = None
+        if overlap:
+            with timed_scope("Bake Geometry (dispatch)"):
+                geom = prepare_bake_tpu(
+                    dev_mesh, jnp.asarray(mvs), mvps_d,
+                    jnp.asarray(weights, jnp.float32), render_res=bake_raster,
+                    tex_res=self.render.texture_size[0], up_res=up_res,
+                    exp=float(self.config.bake_exp), check=False)
         with timed_scope("Multiview Diffusion (device)"):
             _sync(device_views)
         # dispatch→ready wall window of the whole diffusion stage (control
@@ -270,15 +287,15 @@ class Hunyuan3DPaintPipeline:
         LAST_TIMINGS["Diffusion Window (device)"] = (
             _time.perf_counter() - t_disp)
         del normal_dev, position_dev   # free HBM before the bake
-        # bake phase A (UV geometry + per-view weight/index maps) runs after
-        # the denoise completes so its raster transients never overlap the
-        # diffusion's memory peak.
         with timed_scope("Bake Geometry (device)"):
-            geom = prepare_bake_tpu(
-                dev_mesh, jnp.asarray(mvs), mvps_d,
-                jnp.asarray(weights, jnp.float32), render_res=bake_raster,
-                tex_res=self.render.texture_size[0], up_res=up_res,
-                exp=float(self.config.bake_exp))
+            if geom is None:
+                geom = prepare_bake_tpu(
+                    dev_mesh, jnp.asarray(mvs), mvps_d,
+                    jnp.asarray(weights, jnp.float32), render_res=bake_raster,
+                    tex_res=self.render.texture_size[0], up_res=up_res,
+                    exp=float(self.config.bake_exp))
+            else:
+                geom = check_prepared_overflow(geom)
             _sync(geom[-1][0])
         with timed_scope("Texture Baking (device)"):
             texture_d, trust_d = bake_tpu_prepared(
