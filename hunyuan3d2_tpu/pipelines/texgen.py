@@ -239,6 +239,18 @@ class Hunyuan3DPaintPipeline:
             device_views = self.models["multiview_model"](
                 images_prompt, (normal_dev, position_dev), camera_info,
                 output_type="device")
+        # window-end probe: a one-element slice enqueued IMMEDIATELY after
+        # the diffusion programs, with its host copy started async. The copy
+        # completes when the diffusion finishes — unlike a download issued
+        # after the phase-A dispatch below, it does not queue behind the
+        # overlapped bake programs, so the recorded window stays the
+        # diffusion-only dispatch→ready wall (verified by a 40-vs-160 matmul
+        # chain ordering probe; block_until_ready is unreliable over axon)
+        probe = jax.tree_util.tree_leaves(device_views)[0].ravel()[0:1]
+        try:
+            probe.copy_to_host_async()
+        except Exception:
+            pass
         # ... and unwrap on the host while the chip denoises
         with timed_scope("UV Unwrap (overlaps denoise)"):
             wrapped = mesh_uv_wrap(mesh)
@@ -278,10 +290,12 @@ class Hunyuan3DPaintPipeline:
                     tex_res=self.render.texture_size[0], up_res=up_res,
                     exp=float(self.config.bake_exp), check=False)
         with timed_scope("Multiview Diffusion (device)"):
-            _sync(device_views)
+            np.asarray(probe)
         # dispatch→ready wall window of the whole diffusion stage (control
         # VAE encodes + denoise scan + per-view VAE decode), INCLUDING the
-        # part hidden under the UV unwrap — the bench's MFU denominator
+        # part hidden under the UV unwrap — the bench's MFU denominator.
+        # Ends at the async probe, NOT a fresh download (which would queue
+        # behind the overlapped phase-A bake programs and absorb their time)
         from hunyuan3d2_tpu.utils.timer import LAST_TIMINGS
 
         LAST_TIMINGS["Diffusion Window (device)"] = (
