@@ -314,10 +314,25 @@ def _jsonable(x):
 # PNG codec via PIL (available in env); zlib fallback writer kept minimal.
 # ---------------------------------------------------------------------------
 def _png_bytes(img: np.ndarray) -> bytes:
+    """PNG-encode with a compressibility-adaptive zlib level.
+
+    High-frequency textures are incompressible (a 2048² noise atlas is
+    12.59 MB at level 1 AND level 6) but level 6 costs ~3.3 s of single-core
+    deflate vs ~0.9 s at level 1 — pure waste on this host. A 64-row sample
+    at level 1 decides: if it barely compresses, encode fast; smooth/real
+    textures keep the default level for the smaller file."""
+    import zlib
+
     from PIL import Image
 
+    level = -1  # PIL default (zlib 6)
+    if img.ndim == 3 and img.shape[0] >= 256:
+        sample = np.ascontiguousarray(img[:: img.shape[0] // 64][:64])
+        if len(zlib.compress(sample.tobytes(), 1)) > 0.8 * sample.nbytes:
+            level = 1
     buf = _io.BytesIO()
-    Image.fromarray(img).save(buf, format="PNG")
+    Image.fromarray(img).save(buf, format="PNG",
+                              compress_level=level if level > 0 else 6)
     return buf.getvalue()
 
 
