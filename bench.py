@@ -530,6 +530,11 @@ def texture_stage(pipe, out, image):
     paint_sec = median(paint_times)
     log(f"paint done: {paint_sec:.2f}s (runs: "
         + ", ".join(f"{t:.2f}" for t in paint_times) + ")")
+    # per-scope split of the LAST measured run (device path scopes:
+    # cond maps / diffusion dispatch+window / UV unwrap overlap / bake
+    # geometry / texture bake / inpaint) — the paint_sec denominators
+    log("paint scopes: " + ", ".join(
+        f"{k}={v:.2f}s" for k, v in LAST_TIMINGS.items()))
 
     # ---- 2.5D UNet / diffusion-stage MFU (VERDICT r2 #3) --------------------
     # FLOPs counted analytically (paint_unet.apply_flops / sd_vae.flops —

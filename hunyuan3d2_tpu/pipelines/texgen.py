@@ -315,13 +315,25 @@ class Hunyuan3DPaintPipeline:
             texture_d, trust_d = bake_tpu_prepared(
                 geom, device_views, self.render.texture_size[0],
                 up_res=up_res)
-            # quantize ON DEVICE: u8 atlas (12 MB) + bool mask (4 MB)
-            # instead of 66 MB of fp32 over the ~35 MB/s tunnel
+            # quantize ON DEVICE and ship ONE u8 buffer: atlas (12 MB) +
+            # bit-packed trust mask (0.5 MB) instead of 66 MB of fp32 (or
+            # 16 MB of u8 + bool) over the ~22 MB/s tunnel — the mask is
+            # 1 bit of information per texel
+            tres = self.render.texture_size[0]
             tex_u8 = jnp.round(jnp.clip(texture_d, 0.0, 1.0)
                                * 255.0).astype(jnp.uint8)
-            mask_d = trust_d > 1e-8
-            texture = np.asarray(tex_u8).astype(np.float32) / 255.0
-            mask = np.asarray(mask_d)
+            assert tres % 8 == 0, tres  # texture sizes are powers of two
+            maskb = (trust_d > 1e-8).reshape(tres, tres // 8, 8)
+            mask_packed = jnp.sum(
+                maskb.astype(jnp.uint8)
+                << jnp.arange(7, -1, -1, dtype=jnp.uint8), axis=-1,
+                dtype=jnp.uint8)
+            wire = np.asarray(jnp.concatenate(
+                [tex_u8.reshape(-1), mask_packed.reshape(-1)]))
+            texture = (wire[: tres * tres * 3].reshape(tres, tres, 3)
+                       .astype(np.float32) / 255.0)
+            mask = np.unpackbits(
+                wire[tres * tres * 3:]).reshape(tres, tres).astype(bool)
         mask_np = (mask * 255).astype(np.uint8)
         with timed_scope("Texture Inpaint"):
             texture = self.texture_inpaint(texture, mask_np)
